@@ -1,0 +1,81 @@
+"""Gaussian-process evidence linear algebra: Cholesky + solve + logdet.
+
+TPU-native counterpart of the single hot path of the reference,
+``gptools/core.py :: GaussianProcess.compute_K_L_alpha_ll`` (SURVEY.md
+section 3.1): build K, factor, solve for alpha, accumulate the log marginal
+likelihood. Differences by design:
+
+- the factorization is XLA's batched Cholesky (MXU blocked under jit/vmap),
+  differentiated exactly by JAX's built-in Cholesky JVP/VJP — the reference
+  instead traced analytic ``hyper_deriv`` formulas through every kernel;
+- failure (non-PSD K from an extreme hyperparameter draw) follows the
+  reference's reject-don't-crash contract: the log-likelihood becomes
+  ``-inf`` via a ``where`` on finiteness instead of raising
+  (``gptools/error_handling.py :: GPImpossibleParamsError`` path), so jitted
+  NUTS/SMC simply rejects the proposal;
+- jitter is relative to the mean diagonal (the reference added
+  ``diag_factor * machine-eps`` absolutely), which keeps f32 TPU runs
+  well-conditioned across amplitude scales (SURVEY.md section 7.1 numerics
+  note).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["CholState", "add_jitter", "chol_factor", "gaussian_loglik"]
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class CholState(NamedTuple):
+    """Cached factorization, mirroring the reference's cached
+    ``(K, L, alpha, ll)`` quadruple."""
+
+    L: jax.Array       # lower Cholesky factor of K (+ jitter)
+    alpha: jax.Array   # K^{-1} (y - mu)
+    ll: jax.Array      # log marginal likelihood (scalar, may be -inf)
+    ok: jax.Array      # bool: factorization succeeded and ll is finite
+
+
+def add_jitter(K: jax.Array, diag_factor: float = 1e2) -> jax.Array:
+    """Add relative diagonal jitter: ``diag_factor * eps * mean(diag K)``."""
+    eps = jnp.finfo(K.dtype).eps
+    scale = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1))
+    jitter = diag_factor * eps * jnp.maximum(scale, jnp.asarray(1.0, K.dtype))
+    n = K.shape[-1]
+    return K + jitter * jnp.eye(n, dtype=K.dtype)
+
+
+def chol_factor(K: jax.Array, diag_factor: float = 1e2) -> jax.Array:
+    """Lower Cholesky of K with relative jitter (NaN rows on failure)."""
+    return jnp.linalg.cholesky(add_jitter(K, diag_factor))
+
+
+def gaussian_loglik(
+    K: jax.Array, r: jax.Array, diag_factor: float = 1e2
+) -> CholState:
+    """log N(r | 0, K) with exact gradients and -inf-on-failure.
+
+    Args:
+      K: (N, N) covariance (before jitter).
+      r: (N,) residual ``y - mu``.
+
+    Returns a `CholState`; ``state.ll`` is the log marginal likelihood
+    ``-1/2 r^T K^-1 r - sum(log diag L) - N/2 log(2 pi)``.
+    """
+    n = r.shape[-1]
+    L = chol_factor(K, diag_factor)
+    # L may contain NaNs if K was not PD; propagate and mask at the end.
+    w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+    alpha = jax.scipy.linalg.solve_triangular(L, w, lower=True, trans=1)
+    quad = jnp.sum(w * w)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(L)))
+    ll = -0.5 * quad - logdet_half - 0.5 * n * _LOG_2PI
+    ok = jnp.isfinite(ll)
+    ll = jnp.where(ok, ll, -jnp.inf)
+    return CholState(L=L, alpha=alpha, ll=ll, ok=ok)

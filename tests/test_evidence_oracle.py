@@ -1,0 +1,198 @@
+"""Covariance assembly + evidence vs the independent numpy oracle
+(SURVEY.md section 4: 'a pure-numpy CPU oracle of the likelihood to pin down
+parity before any Pallas kernel lands')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gptools_tpu.models.dataset import DatasetBuilder
+from gptools_tpu.models.gp import GPModel
+from gptools_tpu.ops import assemble, evidence
+from gptools_tpu.ops.kernels import (
+    DiagonalNoiseKernel,
+    GibbsKernel1dTanh,
+    SquaredExponentialKernel,
+)
+from tests.oracle import gp_numpy as oracle
+
+
+def _se_dataset(rng, N=20, with_derivs=True):
+    b = DatasetBuilder(1)
+    X = np.sort(rng.uniform(0, 3, N))
+    y = np.sin(X) + 0.05 * rng.standard_normal(N)
+    b.add(X, y, err_y=0.05)
+    if with_derivs:
+        Xd = np.array([0.0, 3.0])
+        b.add(Xd, np.cos(Xd), err_y=0.02, n=1)
+    return b.build()
+
+
+def test_cov_matrix_matches_oracle_se_derivs(rng):
+    data = _se_dataset(rng)
+    sf, ell = 1.3, 0.7
+    k = SquaredExponentialKernel()
+    theta = jnp.array([sf, ell])
+    K = assemble.cov_matrix(
+        k, theta, data.Xf, data.nid, data.Xf, data.nid, data.multi_indices
+    )
+    X = np.asarray(data.Xf)[:, 0]
+    n = [data.multi_indices[i][0] for i in np.asarray(data.nid)]
+    K_oracle = oracle.build_K(
+        X, n, lambda a, b_, p, q: oracle.se_kernel(a, b_, p, q, sf, ell)
+    )
+    np.testing.assert_allclose(np.asarray(K), K_oracle, rtol=1e-10, atol=1e-12)
+
+
+def test_cov_matrix_matches_oracle_gibbs_derivs(rng):
+    data = _se_dataset(rng, N=12)
+    theta_t = (1.5, 0.4, 0.12, 0.1, 2.0)
+    k = GibbsKernel1dTanh()
+    K = assemble.cov_matrix(
+        k,
+        jnp.asarray(theta_t),
+        data.Xf,
+        data.nid,
+        data.Xf,
+        data.nid,
+        data.multi_indices,
+    )
+    X = np.asarray(data.Xf)[:, 0]
+    n = [data.multi_indices[i][0] for i in np.asarray(data.nid)]
+    K_oracle = oracle.build_K(
+        X, n, lambda a, b_, p, q: oracle.gibbs_block_fd(a, b_, p, q, theta_t)
+    )
+    np.testing.assert_allclose(np.asarray(K), K_oracle, rtol=5e-4, atol=1e-7)
+
+
+def test_gaussian_loglik_matches_oracle(rng):
+    data = _se_dataset(rng)
+    sf, ell = 1.3, 0.7
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    ll = float(model.log_marginal(jnp.array([sf, ell]), data))
+    X = np.asarray(data.Xf)[:, 0]
+    n = [data.multi_indices[i][0] for i in np.asarray(data.nid)]
+    K = oracle.build_K(X, n, lambda a, b_, p, q: oracle.se_kernel(a, b_, p, q, sf, ell))
+    want = oracle.log_marginal(K, np.asarray(data.y), np.asarray(data.err_y))
+    assert np.isclose(ll, want, rtol=1e-9), (ll, want)
+
+
+def test_loglik_gradient_finite_difference(rng):
+    data = _se_dataset(rng)
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    theta = jnp.array([1.3, 0.7])
+    g = jax.grad(lambda t: model.log_marginal(t, data))(theta)
+    for i in range(2):
+        h = 1e-6
+        tp = theta.at[i].add(h)
+        tm = theta.at[i].add(-h)
+        fd = (
+            float(model.log_marginal(tp, data)) - float(model.log_marginal(tm, data))
+        ) / (2 * h)
+        assert np.isclose(float(g[i]), fd, rtol=1e-5), (i, float(g[i]), fd)
+
+
+def test_impossible_params_give_neg_inf(rng):
+    """The reference's reject-don't-crash contract
+    (gptools/error_handling.py): a non-PD covariance yields ll = -inf."""
+    data = _se_dataset(rng, with_derivs=False)
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    # nan hyperparameters -> non-finite K -> -inf, no exception
+    ll = float(model.log_marginal(jnp.array([np.nan, 0.7]), data))
+    assert ll == -np.inf
+
+
+def test_noise_kernel_matches_explicit_diagonal(rng):
+    data = _se_dataset(rng, with_derivs=True)
+    sf, ell, sn = 1.1, 0.8, 0.3
+    m_noise = GPModel(
+        SquaredExponentialKernel(),
+        noise_kernel=DiagonalNoiseKernel(n=0),
+        diag_factor=0.0,
+    )
+    ll_noise = float(m_noise.log_marginal(jnp.array([sf, ell, sn]), data))
+    # oracle: add sn^2 on value-observation diagonal entries
+    X = np.asarray(data.Xf)[:, 0]
+    n = [data.multi_indices[i][0] for i in np.asarray(data.nid)]
+    K = oracle.build_K(X, n, lambda a, b_, p, q: oracle.se_kernel(a, b_, p, q, sf, ell))
+    K = K + np.diag([sn**2 if ni == 0 else 0.0 for ni in n])
+    want = oracle.log_marginal(K, np.asarray(data.y), np.asarray(data.err_y))
+    assert np.isclose(ll_noise, want, rtol=1e-9)
+
+
+def test_transformed_observations_line_integral(rng):
+    """y = T f(X) path: quadrature-weighted observation equals the oracle's
+    T K T^T likelihood (reference add_data(..., T=...) semantics)."""
+    b = DatasetBuilder(1)
+    Xq = np.linspace(0.0, 1.0, 11)
+    w = np.full(11, 1.0 / 11)  # crude quadrature of mean value
+    b.add(np.array([0.2, 0.5, 0.9]), np.array([0.1, 0.4, 0.8]), err_y=0.05)
+    b.add(Xq, y=[0.45], T=w[None, :], err_y=0.02)
+    data = b.build()
+    assert data.has_transform and data.num_obs == 4 and data.num_latent == 14
+
+    sf, ell = 1.0, 0.5
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    ll = float(model.log_marginal(jnp.array([sf, ell]), data))
+
+    X = np.asarray(data.Xf)[:, 0]
+    Kff = oracle.build_K(
+        X, [0] * len(X), lambda a, b_, p, q: oracle.se_kernel(a, b_, p, q, sf, ell)
+    )
+    T = np.asarray(data.T)
+    Kobs = T @ Kff @ T.T
+    want = oracle.log_marginal(Kobs, np.asarray(data.y), np.asarray(data.err_y))
+    assert np.isclose(ll, want, rtol=1e-9)
+
+
+def test_predict_matches_oracle(rng):
+    data = _se_dataset(rng)
+    sf, ell = 1.3, 0.7
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    theta = jnp.array([sf, ell])
+    Xstar = np.array([0.5, 1.5, 2.5])
+    pred = model.predict(theta, data, Xstar, n=0, return_cov=True)
+    X = np.asarray(data.Xf)[:, 0]
+    n = [data.multi_indices[i][0] for i in np.asarray(data.nid)]
+    mean_o, cov_o = oracle.se_predict(
+        X, np.asarray(data.y), np.asarray(data.err_y), n, Xstar, [0, 0, 0], sf, ell
+    )
+    np.testing.assert_allclose(np.asarray(pred.mean), mean_o, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pred.cov), cov_o, rtol=1e-5, atol=1e-8)
+
+
+def test_predict_derivative_consistency(rng):
+    """Predicted derivative == finite difference of predicted mean."""
+    data = _se_dataset(rng)
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    theta = jnp.array([1.3, 0.7])
+    x0, h = 1.2, 1e-4
+    m = model.predict(theta, data, np.array([x0 - h, x0 + h]), n=0, return_std=False).mean
+    fd = (float(m[1]) - float(m[0])) / (2 * h)
+    d = float(
+        model.predict(theta, data, np.array([x0]), n=1, return_std=False).mean[0]
+    )
+    assert np.isclose(d, fd, rtol=1e-6)
+
+
+def test_vmap_over_theta_batches(rng):
+    """The chains hot path: batched evidence under vmap."""
+    data = _se_dataset(rng)
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    thetas = jnp.array([[1.0, 0.5], [1.3, 0.7], [0.7, 1.1]])
+    lls = jax.vmap(lambda t: model.log_marginal(t, data))(thetas)
+    singles = [float(model.log_marginal(t, data)) for t in thetas]
+    np.testing.assert_allclose(np.asarray(lls), singles, rtol=1e-12)
+
+
+def test_draw_sample_moments(rng, key):
+    data = _se_dataset(rng, with_derivs=False)
+    model = GPModel(SquaredExponentialKernel(), diag_factor=0.0)
+    theta = jnp.array([1.3, 0.7])
+    Xs = np.array([0.5, 1.5])
+    draws = model.draw_sample(key, theta, data, Xs, num_samp=20000)
+    pred = model.predict(theta, data, Xs, return_cov=True)
+    emp_mean = np.asarray(draws).mean(axis=1)
+    emp_cov = np.cov(np.asarray(draws))
+    np.testing.assert_allclose(emp_mean, np.asarray(pred.mean), atol=0.02)
+    np.testing.assert_allclose(emp_cov, np.asarray(pred.cov), atol=0.02)
