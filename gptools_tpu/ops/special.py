@@ -47,13 +47,22 @@ def _tanh_sinh_nodes(n: int, L: float):
 
 @lru_cache(maxsize=None)
 def _exp_sinh_nodes(n: int, L: float):
-    """exp-sinh nodes/weights for integrals over (0, inf) of decaying
-    integrands: t_k = exp(pi/2 sinh u_k), u uniform on (-L, L)."""
+    """exp-sinh nodes for integrals over (0, inf) of decaying integrands:
+    t_k = exp(pi/2 sinh u_k), u uniform on (-L, L).
+
+    Returns ``(t, coshm1, log_w)`` with ``coshm1 = cosh(t) - 1`` precomputed
+    (accurately for small t, clipped to 1e30 at the far nodes so that
+    ``-x * coshm1`` stays finite — an inf here would poison gradients with
+    inf * 0 = NaN through logsumexp).
+    """
     u = np.linspace(-L, L, n)
     du = u[1] - u[0]
     t = np.exp((math.pi / 2.0) * np.sinh(u))
-    w = du * (math.pi / 2.0) * np.cosh(u) * t
-    return t, w
+    with np.errstate(over="ignore"):
+        coshm1 = 0.5 * (np.expm1(np.minimum(t, 700.0)) + np.expm1(-t))
+    coshm1 = np.minimum(coshm1, 1e30)
+    log_w = np.log(du * (math.pi / 2.0) * np.cosh(u)) + np.log(t)
+    return t, coshm1, log_w
 
 
 def betainc_dd(a, b, x, *, num_nodes: int = 144, L: float = 5.2):
@@ -110,14 +119,13 @@ def _kve_quad(v, x, num_nodes: int, L: float):
     upward recurrence.
     """
     dtype = jnp.result_type(v, x, jnp.float32)
-    t, w = _exp_sinh_nodes(num_nodes, L)
-    t = jnp.asarray(t, dtype)
-    log_w = jnp.asarray(np.log(w), dtype)
+    t_np, coshm1_np, log_w_np = _exp_sinh_nodes(num_nodes, L)
+    t = jnp.asarray(t_np, dtype)
+    coshm1 = jnp.asarray(np.minimum(coshm1_np, jnp.finfo(dtype).max * 1e-8), dtype)
+    log_w = jnp.asarray(log_w_np, dtype)
     x_ = x[..., None]
     v_ = v[..., None]
-    # cosh t - 1 = (expm1(t) + expm1(-t)) / 2, accurate for small t;
-    # overflow at the largest nodes gives -inf in log_f, dropped by logsumexp
-    log_f = -x_ * (0.5 * (jnp.expm1(t) + jnp.expm1(-t)))
+    log_f = -x_ * coshm1
     a = jnp.abs(v_ * t)
     log_cosh = a + jnp.log1p(jnp.exp(-2.0 * a)) - math.log(2.0)
     val = jax.scipy.special.logsumexp(log_f + log_cosh + log_w, axis=-1)
