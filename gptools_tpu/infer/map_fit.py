@@ -1,0 +1,115 @@
+"""Multi-start MAP estimation, vectorized on-chip.
+
+TPU-native counterpart of ``gptools/core.py ::
+GaussianProcess.optimize_hyperparameters`` (SURVEY.md section 3.1): the
+reference drew ``random_starts`` points from the hyperprior and fanned
+scipy SLSQP over a ``multiprocessing.Pool``; here every start runs the SAME
+jitted L-BFGS update under ``vmap`` — one XLA program, all starts in flight
+at once, batched Cholesky in the objective. Bound constraints are handled by
+optimizing in the unconstrained bijector space (no SLSQP needed); the
+hyperprior term makes it MAP rather than MLE, matching the reference's
+objective (log marginal likelihood + hyperprior).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["MAPResult", "optimize"]
+
+
+class MAPResult(NamedTuple):
+    theta: jax.Array          # best constrained hyperparameters (P,)
+    u: jax.Array              # best unconstrained free vector
+    log_posterior: jax.Array  # value at the optimum
+    all_log_posteriors: jax.Array  # per-start final values
+    all_thetas: jax.Array     # per-start final constrained params
+    converged: jax.Array      # per-start finiteness flag
+
+
+def optimize(
+    model,
+    data,
+    key: jax.Array,
+    random_starts: int = 8,
+    num_steps: int = 200,
+    method: str = "lbfgs",
+    learning_rate: float = 0.05,
+    include_current: bool = True,
+) -> MAPResult:
+    """Maximize ``model.log_posterior_u`` from prior-drawn starts.
+
+    Returns the best start's constrained parameters (reference semantics:
+    best −ll wins, GP left in optimized state by the caller).
+    """
+    nf = model.num_free_params
+
+    def loss(u):
+        return -model.log_posterior_u(u, data)
+
+    k_draw, _ = jax.random.split(key)
+    thetas0 = model.hyperprior.sample(k_draw, (random_starts,))
+    u0s = jax.vmap(model.u_of_theta)(thetas0)
+    if include_current:
+        u_cur = model.u_of_theta(jnp.asarray(model.initial_params, u0s.dtype))
+        u0s = jnp.concatenate([u_cur[None, :], u0s], axis=0)
+
+    if method == "lbfgs":
+        opt = optax.lbfgs()
+
+        def run_one(u0):
+            value_and_grad = optax.value_and_grad_from_state(loss)
+
+            def step(carry, _):
+                params, state = carry
+                value, grad = value_and_grad(params, state=state)
+                updates, state = opt.update(
+                    grad, state, params, value=value, grad=grad, value_fn=loss
+                )
+                params = optax.apply_updates(params, updates)
+                return (params, state), value
+
+            (u_fin, _), values = jax.lax.scan(
+                step, (u0, opt.init(u0)), None, length=num_steps
+            )
+            return u_fin, -loss(u_fin)
+
+    elif method == "adam":
+        opt = optax.adam(learning_rate)
+
+        def run_one(u0):
+            def step(carry, _):
+                params, state = carry
+                value, grad = jax.value_and_grad(loss)(params)
+                grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+                updates, state = opt.update(grad, state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, state), value
+
+            (u_fin, _), _ = jax.lax.scan(
+                step, (u0, opt.init(u0)), None, length=num_steps
+            )
+            return u_fin, -loss(u_fin)
+
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    us, lps = jax.vmap(run_one)(u0s)
+    finite = jnp.isfinite(lps)
+    lps_masked = jnp.where(finite, lps, -jnp.inf)
+    best = jnp.argmax(lps_masked)
+    u_best = us[best]
+    theta_best = model.theta_of_u(u_best)
+    all_thetas = jax.vmap(model.theta_of_u)(us)
+    return MAPResult(
+        theta=theta_best,
+        u=u_best,
+        log_posterior=lps_masked[best],
+        all_log_posteriors=lps,
+        all_thetas=all_thetas,
+        converged=finite,
+    )
