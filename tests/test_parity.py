@@ -1,0 +1,121 @@
+"""Posterior-moment parity: TPU-engine samplers vs the reference pipeline
+stand-in (numpy GP oracle + affine-invariant ensemble sampler).
+
+This is the acceptance criterion of BASELINE.json: hyperparameter posterior
+moments must agree within Monte-Carlo error (SURVEY.md section 7.3 hard part
+#4 — different samplers explore differently, so parity is judged on moments
+with honest MC-error accounting).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu.models.dataset import DatasetBuilder
+from gptools_tpu.models.gp import GPModel
+from gptools_tpu.ops.kernels import GibbsKernel1dTanh, SquaredExponentialKernel
+from gptools_tpu.utils.priors import LogNormalJointPrior, UniformJointPrior
+from gptools_tpu.utils.diagnostics import ess_per_param
+from gptools_tpu.infer import nuts, smc, model_logp
+from tests.oracle.ensemble import run_ensemble
+
+
+def _se_problem(rng):
+    """Config-2 style: SE GP with a derivative observation, small N."""
+    X = np.linspace(0, 3, 16)
+    f = np.sin(1.5 * X)
+    y = f + 0.1 * rng.standard_normal(len(X))
+    b = DatasetBuilder(1)
+    b.add(X, y, err_y=0.1)
+    b.add(np.array([0.0]), np.array([1.5]), err_y=0.05, n=1)  # slope at 0
+    data = b.build()
+    prior = LogNormalJointPrior([0.0, -0.5], [0.75, 0.75])
+    model = GPModel(SquaredExponentialKernel(hyperprior=prior))
+    return model, data
+
+
+def _run_oracle(model, data, rng, num_steps=1500, burn=500, walkers=16):
+    """Ensemble-sample the SAME posterior density (via the jitted evidence)."""
+    lp_fn = jax.jit(lambda t: model.log_posterior(jnp.asarray(t), data))
+
+    def log_prob(theta):
+        return float(lp_fn(theta))
+
+    p0 = np.asarray(model.hyperprior.sample(jax.random.PRNGKey(7), (walkers,)))
+    chain, _, acc = run_ensemble(log_prob, p0, num_steps, rng)
+    assert acc > 0.1, f"oracle sampler failed to move (accept={acc})"
+    flat = chain[burn:].reshape(-1, chain.shape[-1])
+    return flat
+
+
+def _moment_parity(flat_a, flat_b, label, z_tol=4.0):
+    """Means must agree within combined MC standard errors (z < z_tol)."""
+    for d in range(flat_a.shape[1]):
+        a, b = flat_a[:, d], flat_b[:, d]
+        # conservative independent-sample ESS guesses
+        se_a = a.std() / np.sqrt(max(len(a) / 10, 1))
+        se_b = b.std() / np.sqrt(max(len(b) / 10, 1))
+        z = abs(a.mean() - b.mean()) / np.sqrt(se_a**2 + se_b**2)
+        assert z < z_tol, (
+            f"{label} param {d}: means {a.mean():.4f} vs {b.mean():.4f}, z={z:.1f}"
+        )
+        ratio = a.std() / b.std()
+        assert 0.6 < ratio < 1.7, f"{label} param {d}: std ratio {ratio:.2f}"
+
+
+def test_nuts_parity_se_deriv(rng, key):
+    model, data = _se_problem(rng)
+    res = nuts.sample(
+        model_logp_u(model, data),
+        _prior_inits(model, key, 8),
+        key,
+        num_warmup=400,
+        num_samples=600,
+    )
+    thetas = np.asarray(
+        jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    ).reshape(-1, model.num_params)
+    flat_oracle = _run_oracle(model, data, rng)
+    _moment_parity(thetas, flat_oracle, "nuts-vs-ensemble")
+    # chains healthy
+    ess = np.asarray(ess_per_param(jax.vmap(jax.vmap(model.theta_of_u))(res.u)))
+    assert (ess > 50).all(), ess
+
+
+def test_smc_parity_gibbs(rng, key):
+    """Config-4 style: Gibbs tanh kernel profile fit with an edge derivative
+    constraint, SMC posterior vs ensemble oracle."""
+    x = np.linspace(0, 1.2, 14)
+    core, edge, w, x0 = 0.4, 0.08, 0.1, 0.9
+    prof = 1.0 - 0.5 * x**2
+    prof[x > x0] = (1.0 - 0.5 * x0**2) * np.exp(-(x[x > x0] - x0) / 0.05)
+    y = prof + 0.03 * rng.standard_normal(len(x))
+    b = DatasetBuilder(1)
+    b.add(x, y, err_y=0.03)
+    b.add(np.array([0.0]), np.array([0.0]), err_y=0.01, n=1)  # flat core
+    data = b.build()
+    prior = (
+        LogNormalJointPrior([0.0], [0.75])      # sigma_f
+        * LogNormalJointPrior([-1.0], [0.6])    # l1 core
+        * LogNormalJointPrior([-2.3], [0.6])    # l2 edge
+        * LogNormalJointPrior([-2.3], [0.6])    # lw
+        * UniformJointPrior([0.6], [1.1])       # x0
+    )
+    model = GPModel(GibbsKernel1dTanh(hyperprior=prior))
+    res = smc.sample(model, data, key, num_particles=1024, num_mutations=8)
+    flat_smc = np.asarray(res.thetas[0])
+    flat_oracle = _run_oracle(model, data, rng, num_steps=2500, burn=800, walkers=20)
+    _moment_parity(flat_smc, flat_oracle, "smc-vs-ensemble")
+
+
+def model_logp_u(model, data):
+    def logp(u):
+        return model.log_posterior_u(u, data)
+
+    return logp
+
+
+def _prior_inits(model, key, n):
+    thetas = model.hyperprior.sample(key, (n,))
+    return jax.vmap(model.u_of_theta)(thetas)
