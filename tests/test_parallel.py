@@ -1,0 +1,80 @@
+"""Sharded-chain sampling on the 8-virtual-device CPU mesh (SURVEY.md
+section 4: multi-host behavior must be testable without a pod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu.parallel import make_mesh, shard_chains, sharded_sample
+from gptools_tpu.parallel.mesh import training_step_sharded
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+_COV = np.array([[1.0, 0.5], [0.5, 2.0]])
+_PREC = np.linalg.inv(_COV)
+
+
+def _gauss_logp(u):
+    return -0.5 * u @ jnp.asarray(_PREC) @ u
+
+
+def test_mesh_and_sharding():
+    mesh = make_mesh(8)
+    assert mesh.devices.size == 8
+    x = jnp.zeros((16, 3))
+    xs = shard_chains(x, mesh)
+    assert xs.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("chains")),
+        ndim=2,
+    )
+
+
+def test_sharded_nuts_matches_unsharded_moments(key):
+    mesh = make_mesh(8)
+    u0 = jax.random.normal(key, (16, 2))
+    res = sharded_sample(
+        _gauss_logp, u0, key, mesh=mesh, num_warmup=300, num_samples=400
+    )
+    flat = np.asarray(res.u).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0, 0], atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), _COV, atol=0.5)
+
+
+def test_training_step_sharded_executes(key):
+    from gptools_tpu.models.dataset import DatasetBuilder
+    from gptools_tpu.models.gp import GPModel
+    from gptools_tpu.ops.kernels import SquaredExponentialKernel
+    from gptools_tpu.utils.priors import LogNormalJointPrior
+
+    rng = np.random.default_rng(0)
+    X = np.linspace(0, 2, 10)
+    b = DatasetBuilder(1)
+    b.add(X, np.sin(X) + 0.05 * rng.standard_normal(10), err_y=0.05)
+    data = b.build()
+    model = GPModel(
+        SquaredExponentialKernel(hyperprior=LogNormalJointPrior([0, -1], [1, 1]))
+    )
+    mesh = make_mesh(8)
+    step_jit, (u0, da0, inv_mass0) = training_step_sharded(model, data, mesh, 16)
+    sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("chains"))
+    u0 = jax.device_put(u0, sh)
+    keys = jax.device_put(jax.random.split(key, 16), sh)
+    q1, logp_v, da1, stats = step_jit(u0, keys, da0, inv_mass0)
+    assert q1.shape == (16, 2)
+    assert np.isfinite(np.asarray(logp_v)).all()
+    # the pooled statistic is replicated (collective result)
+    assert np.isfinite(float(jnp.exp(da1.log_eps)))
+
+    # compiled module must contain a cross-device reduction for the pooled stat
+    txt = step_jit.lower(u0, keys, da0, inv_mass0).compile().as_text()
+    assert ("all-reduce" in txt) or ("all_reduce" in txt), "no collective found"
+
+
+def test_chain_count_must_divide_mesh(key):
+    mesh = make_mesh(8)
+    u0 = jnp.zeros((10, 2))
+    with pytest.raises(ValueError):
+        sharded_sample(_gauss_logp, u0, key, mesh=mesh)
