@@ -22,7 +22,7 @@ import numpy as np
 
 # CPU reference-pipeline ESS/s measured on this machine via --baseline
 # (see BASELINE.md for the measurement protocol and raw numbers).
-CPU_BASELINE_ESS_PER_S = 1.17
+CPU_BASELINE_ESS_PER_S = 5.97  # mean of two --baseline runs (6.33, 5.62)
 
 
 def _flagship_problem(n_points=25):
@@ -55,8 +55,14 @@ def _flagship_problem(n_points=25):
     return model, data
 
 
-def run_tpu_bench(num_chains=32, num_warmup=400, num_samples=800, seed=0):
+def run_tpu_bench(num_chains=512, num_warmup=500, num_samples=500, seed=0):
     import jax
+
+    # persistent compile cache: window-length-specialized NUTS scans are
+    # expensive to compile over the TPU tunnel; cache them across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gptools_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from gptools_tpu.infer import model_logp, nuts
@@ -69,14 +75,21 @@ def run_tpu_bench(num_chains=32, num_warmup=400, num_samples=800, seed=0):
     thetas0 = model.hyperprior.sample(k1, (num_chains,))
     u0 = jax.vmap(model.u_of_theta)(thetas0)
 
-    # warm the compile cache with a tiny run so wall time measures sampling
-    nuts.sample(logp, u0, k2, num_warmup=2, num_samples=2)
+    def run():
+        res = nuts.sample(
+            logp,
+            u0,
+            k2,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            target_accept=0.85,
+        )
+        jax.block_until_ready(res.u)
+        return res
 
+    run()  # compile everything at the real shapes, outside the clock
     t0 = time.perf_counter()
-    res = nuts.sample(
-        logp, u0, k2, num_warmup=num_warmup, num_samples=num_samples
-    )
-    jax.block_until_ready(res.u)
+    res = run()
     wall = time.perf_counter() - t0
 
     thetas = jax.vmap(jax.vmap(model.theta_of_u))(res.u)
@@ -132,9 +145,9 @@ def main():
     ap = argparse.ArgumentParser()
     # NOTE: --platform handled before jax import below
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
-    ap.add_argument("--chains", type=int, default=32)
-    ap.add_argument("--samples", type=int, default=800)
-    ap.add_argument("--warmup", type=int, default=400)
+    ap.add_argument("--chains", type=int, default=512)
+    ap.add_argument("--samples", type=int, default=500)
+    ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

@@ -71,12 +71,16 @@ class GPModel:
         mean: Optional[MeanFunction] = None,
         diag_factor: float = 1e2,
         solve_dtype=None,
+        cov_backend: str = "auto",
     ):
         self.kernel = kernel
         self.noise_kernel = noise_kernel
         self.mean = mean
         self.diag_factor = float(diag_factor)
         self.solve_dtype = solve_dtype
+        if cov_backend not in ("auto", "generic", "fused", "pallas"):
+            raise ValueError(f"unknown cov_backend {cov_backend!r}")
+        self.cov_backend = cov_backend
 
         sizes = [kernel.num_params]
         sizes.append(noise_kernel.num_params if noise_kernel else 0)
@@ -161,16 +165,50 @@ class GPModel:
         return self.hyperprior.log_prob(theta_full)
 
     def _latent_cov(self, theta, data: Dataset, include_noise: bool):
-        """K over the latent grid: kernel (+ noise kernel if requested)."""
-        Kff = assemble.cov_matrix(
-            self.kernel,
-            self._theta_k(theta),
-            data.Xf,
-            data.nid,
-            data.Xf,
-            data.nid,
-            data.multi_indices,
-        )
+        """K over the latent grid: kernel (+ noise kernel if requested).
+
+        The smooth part dispatches to the fused flagship builders
+        (`gptools_tpu.ops.fused`, single-pass shared-subexpression formulas;
+        optionally Pallas forward) when the kernel/data support them —
+        this is the evidence hot path the samplers hammer.
+        """
+        from gptools_tpu.ops import fused
+
+        backend = self.cov_backend
+        if backend == "auto":
+            backend = "fused"
+        if backend in ("fused", "pallas") and fused.fused_supported(
+            self.kernel, data.multi_indices, data.num_dim
+        ):
+            Kff = fused.flagship_cov(
+                self.kernel,
+                self._theta_k(theta),
+                data.Xf,
+                data.nid,
+                data.multi_indices,
+                backend=backend,
+            )
+            # generic path still supplies any delta terms inside the kernel
+            if self.kernel.delta_terms():
+                Kff = Kff + assemble.delta_matrix(
+                    self.kernel,
+                    self._theta_k(theta),
+                    data.Xf,
+                    data.nid,
+                    data.Xf,
+                    data.nid,
+                    data.multi_indices,
+                )
+        else:
+            Kff = assemble.cov_matrix(
+                self.kernel,
+                self._theta_k(theta),
+                data.Xf,
+                data.nid,
+                data.Xf,
+                data.nid,
+                data.multi_indices,
+            )
         if include_noise and self.noise_kernel is not None:
             Kff = Kff + assemble.cov_matrix(
                 self.noise_kernel,

@@ -1,0 +1,174 @@
+"""Fused covariance block math for the flagship kernels — one implementation
+shared by the plain-XLA (differentiable) path and the Pallas kernels.
+
+Why this exists: the generic assembly (`gptools_tpu.ops.assemble`) evaluates
+each derivative block with its own autodiff tower, recomputing the
+exponential / tanh warp per block. The evidence hot loop (NUTS leapfrog)
+evaluates K and dK/dtheta hundreds of times per sample, so the covariance
+build is worth hand-fusing: the formulas below compute the shared
+subexpressions once and emit all four {value, slope} blocks in a single
+elementwise pass. Written in plain jnp they are fully differentiable (exact
+gradients for the samplers); the same functions are the bodies of the Pallas
+kernels in `gptools_tpu.ops.pallas_cov`, whose forward pass can then be used
+with this module's autodiff as the backward (custom_vjp).
+
+Correctness: pinned against the generic autodiff path to 1e-11 (f64) in
+tests/test_pallas.py and tests/test_fused.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "se_blocks",
+    "gibbs_tanh_blocks",
+    "assemble_blocks",
+    "se_cov_fused",
+    "gibbs_tanh_cov_fused",
+    "fused_supported",
+    "flagship_cov",
+]
+
+
+def se_blocks(x_row, x_col, theta):
+    """SE {value, slope} covariance blocks on a broadcasted (row, col) tile.
+
+    x_row: (..., N, 1); x_col: (..., 1, M); theta: [sigma_f, l].
+    Returns (k00, k10, k01, k11) with k10 = d/dx_row k etc.
+    """
+    sf = theta[0]
+    ell = theta[1]
+    d = x_row - x_col
+    inv_l2 = 1.0 / (ell * ell)
+    r2 = d * d * inv_l2
+    e = sf * sf * jnp.exp(-0.5 * r2)
+    k10 = -d * inv_l2 * e
+    return e, k10, -k10, (1.0 - r2) * inv_l2 * e
+
+
+def gibbs_tanh_blocks(x_row, x_col, theta):
+    """Gibbs-tanh {value, slope} blocks (hand-derived; see module docstring
+    of `gptools_tpu.ops.pallas_cov` for the derivation)."""
+    sf, l1, l2, lw, x0 = theta[0], theta[1], theta[2], theta[3], theta[4]
+
+    def warp(x):
+        t = jnp.tanh((x - x0) / lw)
+        l = l1 + 0.5 * (l2 - l1) * (1.0 + t)
+        dl = 0.5 * (l2 - l1) * (1.0 - t * t) / lw
+        return l, dl
+
+    la, dla = warp(x_row)
+    lb, dlb = warp(x_col)
+    d = x_row - x_col
+    u = la * la
+    v = lb * lb
+    S = u + v
+    inv_S = 1.0 / S
+    d2 = d * d
+    k = (sf * sf) * jnp.sqrt(2.0 * la * lb * inv_S) * jnp.exp(-d2 * inv_S)
+
+    up = 2.0 * la * dla
+    vp = 2.0 * lb * dlb
+    inv_S2 = inv_S * inv_S
+    common = -0.5 * inv_S + d2 * inv_S2
+    g1 = up * (0.25 / u + common) - 2.0 * d * inv_S
+    g2 = vp * (0.25 / v + common) + 2.0 * d * inv_S
+    dg2dx = (
+        vp * (0.5 * up * inv_S2 + 2.0 * d * inv_S2 - 2.0 * d2 * up * inv_S2 * inv_S)
+        + 2.0 * inv_S
+        - 2.0 * d * up * inv_S2
+    )
+    return k, g1 * k, g2 * k, (g1 * g2 + dg2dx) * k
+
+
+def assemble_blocks(blocks, nid_row, nid_col):
+    """Mask-combine the four blocks by derivative-order ids (0=value,
+    1=slope; any other id contributes zero, used for padding)."""
+    k00, k10, k01, k11 = blocks
+    row_v = nid_row == 0
+    col_v = nid_col == 0
+    row_d = nid_row == 1
+    col_d = nid_col == 1
+    return jnp.where(
+        row_v & col_v,
+        k00,
+        jnp.where(
+            row_d & col_v,
+            k10,
+            jnp.where(row_v & col_d, k01, jnp.where(row_d & col_d, k11, 0.0)),
+        ),
+    )
+
+
+def se_cov_fused(X, nid, theta):
+    """(N,) + (N,) + (2,) -> (N, N), differentiable fused SE covariance."""
+    x_r = X.reshape(-1, 1)
+    x_c = X.reshape(1, -1)
+    return assemble_blocks(
+        se_blocks(x_r, x_c, theta), nid.reshape(-1, 1), nid.reshape(1, -1)
+    )
+
+
+def gibbs_tanh_cov_fused(X, nid, theta):
+    """(N,) + (N,) + (5,) -> (N, N), differentiable fused Gibbs covariance."""
+    x_r = X.reshape(-1, 1)
+    x_c = X.reshape(1, -1)
+    return assemble_blocks(
+        gibbs_tanh_blocks(x_r, x_c, theta),
+        nid.reshape(-1, 1),
+        nid.reshape(1, -1),
+    )
+
+
+def fused_supported(kernel, multi_indices, num_dim) -> bool:
+    from gptools_tpu.ops.kernels import (
+        GibbsKernel,
+        SquaredExponentialKernel,
+        TanhWarp,
+    )
+
+    if num_dim != 1:
+        return False
+    if not set(tuple(m) for m in multi_indices) <= {(0,), (1,)}:
+        return False
+    if type(kernel) is SquaredExponentialKernel:
+        return True
+    if isinstance(kernel, GibbsKernel) and type(kernel.warp) is TanhWarp:
+        return True
+    return False
+
+
+def _order_ids(nid, multi_indices):
+    mi = tuple(tuple(m) for m in multi_indices)
+    if mi == ((0,),) or mi == ((0,), (1,)):
+        return nid
+    if mi == ((1,),):
+        return nid + 1
+    raise ValueError(f"unsupported multi-index table {mi}")
+
+
+def flagship_cov(kernel, theta, X, nid, multi_indices, backend: str = "fused"):
+    """Fused K over one point set for a supported flagship kernel.
+
+    backend: 'fused' (plain XLA, differentiable) or 'pallas' (Pallas forward
+    with the fused path as custom-vjp backward; TPU only).
+    """
+    from gptools_tpu.ops.kernels import GibbsKernel, SquaredExponentialKernel
+
+    ids = _order_ids(nid, multi_indices)
+    Xf = X.reshape(-1)
+    if backend == "pallas":
+        from gptools_tpu.ops import pallas_cov
+
+        if type(kernel) is SquaredExponentialKernel:
+            return pallas_cov.se_cov_vjp(Xf, ids, theta)
+        if isinstance(kernel, GibbsKernel):
+            return pallas_cov.gibbs_tanh_cov_vjp(Xf, ids, theta)
+        raise ValueError(type(kernel).__name__)
+    if type(kernel) is SquaredExponentialKernel:
+        return se_cov_fused(Xf, ids, theta)
+    if isinstance(kernel, GibbsKernel):
+        return gibbs_tanh_cov_fused(Xf, ids, theta)
+    raise ValueError(type(kernel).__name__)

@@ -74,43 +74,12 @@ def _pad_inputs(X: jax.Array, nid: jax.Array, dtype):
     return Xp, nidp, n_pad
 
 
-def _se_kernel_body(x_row, x_col, nid_row, nid_col, theta, out_ref):
-    sf = theta[0, 0]
-    ell = theta[0, 1]
-    d = x_row - x_col                    # (N, N) via broadcast
-    inv_l2 = 1.0 / (ell * ell)
-    r2 = d * d * inv_l2
-    e = sf * sf * jnp.exp(-0.5 * r2)
-
-    k00 = e
-    k10 = -d * inv_l2 * e
-    k01 = -k10
-    k11 = (1.0 - r2) * inv_l2 * e
-
-    row_v = nid_row == 0
-    col_v = nid_col == 0
-    row_d = nid_row == 1
-    col_d = nid_col == 1
-    out = jnp.where(
-        row_v & col_v,
-        k00,
-        jnp.where(
-            row_d & col_v,
-            k10,
-            jnp.where(row_v & col_d, k01, jnp.where(row_d & col_d, k11, 0.0)),
-        ),
-    )
-    out_ref[:, :] = out
-
-
 def _se_pallas_kernel(x_r_ref, x_c_ref, nid_r_ref, nid_c_ref, theta_ref, out_ref):
-    _se_kernel_body(
-        x_r_ref[:, :],        # (N, 1)
-        x_c_ref[:, :],        # (1, N)
-        nid_r_ref[:, :],
-        nid_c_ref[:, :],
-        theta_ref,
-        out_ref,
+    from gptools_tpu.ops import fused
+
+    blocks = fused.se_blocks(x_r_ref[:, :], x_c_ref[:, :], theta_ref[0, :])
+    out_ref[:, :] = fused.assemble_blocks(
+        blocks, nid_r_ref[:, :], nid_c_ref[:, :]
     )
 
 
@@ -142,74 +111,12 @@ def se_cov(X: jax.Array, nid: jax.Array, theta: jax.Array, interpret: bool = Fal
     return out[:n, :n]
 
 
-def _gibbs_kernel_body(
-    x_row, x_col, nid_row, nid_col, theta, out_ref
-):
-    sf = theta[0, 0]
-    l1 = theta[0, 1]
-    l2 = theta[0, 2]
-    lw = theta[0, 3]
-    x0 = theta[0, 4]
-
-    def warp(x):
-        t = jnp.tanh((x - x0) / lw)
-        l = l1 + 0.5 * (l2 - l1) * (1.0 + t)
-        dl = 0.5 * (l2 - l1) * (1.0 - t * t) / lw
-        return l, dl
-
-    la, dla = warp(x_row)   # (N, 1)
-    lb, dlb = warp(x_col)   # (1, N)
-
-    d = x_row - x_col
-    u = la * la
-    v = lb * lb
-    S = u + v
-    inv_S = 1.0 / S
-    d2 = d * d
-    # k = s^2 sqrt(2 la lb / S) exp(-d^2 / S)
-    k = (sf * sf) * jnp.sqrt(2.0 * la * lb * inv_S) * jnp.exp(-d2 * inv_S)
-
-    up = 2.0 * la * dla
-    vp = 2.0 * lb * dlb
-    inv_S2 = inv_S * inv_S
-    common = -0.5 * inv_S + d2 * inv_S2
-    g1 = up * (0.25 / u + common) - 2.0 * d * inv_S
-    g2 = vp * (0.25 / v + common) + 2.0 * d * inv_S
-    dg2dx = (
-        vp * (0.5 * up * inv_S2 + 2.0 * d * inv_S2 - 2.0 * d2 * up * inv_S2 * inv_S)
-        + 2.0 * inv_S
-        - 2.0 * d * up * inv_S2
-    )
-
-    k00 = k
-    k10 = g1 * k
-    k01 = g2 * k
-    k11 = (g1 * g2 + dg2dx) * k
-
-    row_v = nid_row == 0
-    col_v = nid_col == 0
-    row_d = nid_row == 1
-    col_d = nid_col == 1
-    out = jnp.where(
-        row_v & col_v,
-        k00,
-        jnp.where(
-            row_d & col_v,
-            k10,
-            jnp.where(row_v & col_d, k01, jnp.where(row_d & col_d, k11, 0.0)),
-        ),
-    )
-    out_ref[:, :] = out
-
-
 def _gibbs_pallas_kernel(x_r_ref, x_c_ref, nid_r_ref, nid_c_ref, theta_ref, out_ref):
-    _gibbs_kernel_body(
-        x_r_ref[:, :],
-        x_c_ref[:, :],
-        nid_r_ref[:, :],
-        nid_c_ref[:, :],
-        theta_ref,
-        out_ref,
+    from gptools_tpu.ops import fused
+
+    blocks = fused.gibbs_tanh_blocks(x_r_ref[:, :], x_c_ref[:, :], theta_ref[0, :])
+    out_ref[:, :] = fused.assemble_blocks(
+        blocks, nid_r_ref[:, :], nid_c_ref[:, :]
     )
 
 
@@ -235,6 +142,36 @@ def gibbs_tanh_cov(
         theta.astype(dtype).reshape(1, -1),
     )
     return out[:n, :n]
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrappers: Pallas forward, fused-XLA-autodiff backward
+# ---------------------------------------------------------------------------
+
+
+def _make_vjp(pallas_fn, fused_fn):
+    @jax.custom_vjp
+    def cov(X, nid, theta):
+        return pallas_fn(X, nid, theta)
+
+    def fwd(X, nid, theta):
+        return pallas_fn(X, nid, theta), (X, nid, theta)
+
+    def bwd(res, gK):
+        X, nid, theta = res
+        _, vjp = jax.vjp(lambda t: fused_fn(X, nid, t), theta)
+        (g_theta,) = vjp(gK.astype(theta.dtype))
+        return None, None, g_theta
+
+    cov.defvjp(fwd, bwd)
+    return cov
+
+
+from gptools_tpu.ops import fused as _fused  # noqa: E402  (no import cycle:
+# fused only imports pallas_cov lazily inside flagship_cov)
+
+se_cov_vjp = _make_vjp(se_cov, _fused.se_cov_fused)
+gibbs_tanh_cov_vjp = _make_vjp(gibbs_tanh_cov, _fused.gibbs_tanh_cov_fused)
 
 
 # ---------------------------------------------------------------------------
