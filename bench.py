@@ -55,7 +55,10 @@ def _flagship_problem(n_points=25):
     return model, data
 
 
-def run_tpu_bench(num_chains=512, num_warmup=500, num_samples=500, seed=0):
+def run_tpu_bench(num_chains=2048, num_warmup=100, num_samples=300, seed=0):
+    """End-to-end posterior production with the flagship pipeline:
+    adaptive tempered SMC -> massively parallel SMC-initialized NUTS.
+    Wall clock covers the FULL pipeline (SMC included)."""
     import jax
 
     # persistent compile cache: window-length-specialized NUTS scans are
@@ -65,24 +68,22 @@ def run_tpu_bench(num_chains=512, num_warmup=500, num_samples=500, seed=0):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from gptools_tpu.infer import model_logp, nuts
+    from gptools_tpu.infer.pipeline import smc_then_nuts
     from gptools_tpu.utils.diagnostics import ess_per_param, split_rhat
 
     model, data = _flagship_problem()
-    logp = model_logp(model, data)
     key = jax.random.PRNGKey(seed)
-    k1, k2 = jax.random.split(key)
-    thetas0 = model.hyperprior.sample(k1, (num_chains,))
-    u0 = jax.vmap(model.u_of_theta)(thetas0)
 
     def run():
-        res = nuts.sample(
-            logp,
-            u0,
-            k2,
+        res = smc_then_nuts(
+            model,
+            data,
+            key,
+            num_chains=num_chains,
             num_warmup=num_warmup,
             num_samples=num_samples,
-            target_accept=0.85,
+            num_particles=1024,
+            max_depth=8,
         )
         jax.block_until_ready(res.u)
         return res
@@ -92,7 +93,7 @@ def run_tpu_bench(num_chains=512, num_warmup=500, num_samples=500, seed=0):
     res = run()
     wall = time.perf_counter() - t0
 
-    thetas = jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    thetas = res.thetas
     ess = np.asarray(ess_per_param(thetas))
     rhat = np.asarray(split_rhat(thetas))
     min_ess = float(ess.min())
@@ -145,9 +146,9 @@ def main():
     ap = argparse.ArgumentParser()
     # NOTE: --platform handled before jax import below
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
-    ap.add_argument("--chains", type=int, default=512)
-    ap.add_argument("--samples", type=int, default=500)
-    ap.add_argument("--warmup", type=int, default=500)
+    ap.add_argument("--chains", type=int, default=2048)
+    ap.add_argument("--samples", type=int, default=300)
+    ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 

@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from gptools_tpu.infer import advi, hmc, map_fit, nuts, smc
+from gptools_tpu.infer import advi, hmc, map_fit, nuts, pipeline, smc
 from gptools_tpu.infer.hmc import SampleResult
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "smc",
     "advi",
     "map_fit",
+    "pipeline",
 ]
 
 
@@ -65,6 +66,16 @@ def run_sampler(
             **kwargs,
         )
         return _attach_thetas(model, result)
+    if sampler in ("smc+nuts", "smc-nuts"):
+        return pipeline.smc_then_nuts(
+            model,
+            data,
+            k_run,
+            num_chains=num_chains,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            **kwargs,
+        )
     if sampler == "smc":
         num_particles = kwargs.pop("num_particles", max(num_chains * num_samples // 4, 256))
         return smc.sample(model, data, k_run, num_particles=num_particles, **kwargs)

@@ -272,6 +272,7 @@ def sample(
     target_accept: float = 0.8,
     eps0: float = 0.1,
     adapt_mass: bool = True,
+    inv_mass0=None,
     jitter: float = 0.2,
     transition_builder: Optional[Callable] = None,
 ) -> SampleResult:
@@ -291,7 +292,10 @@ def sample(
     else:
         transition = transition_builder(logp_and_grad)
 
-    inv_mass = jnp.ones((P,), dtype)
+    if inv_mass0 is None:
+        inv_mass = jnp.ones((P,), dtype)
+    else:
+        inv_mass = jnp.asarray(inv_mass0, dtype)
     da = da_init(jnp.asarray(eps0, dtype))
     welford = welford_init(P, dtype)
     qs = u0.astype(dtype)

@@ -291,6 +291,7 @@ def sample(
     target_accept: float = 0.8,
     eps0: float = 0.1,
     adapt_mass: bool = True,
+    inv_mass0=None,
     divergence_threshold: float = 1000.0,
 ) -> _hmc.SampleResult:
     """Vectorized multi-chain NUTS with pooled warmup adaptation.
@@ -306,5 +307,6 @@ def sample(
         target_accept=target_accept,
         eps0=eps0,
         adapt_mass=adapt_mass,
+        inv_mass0=inv_mass0,
         transition_builder=nuts_transition_builder(max_depth, divergence_threshold),
     )

@@ -1,0 +1,77 @@
+"""SMC-initialized massively-parallel NUTS: the flagship inference pipeline.
+
+Rationale (TPU-first): a single chip runs thousands of chains for nearly the
+price of one, so the optimal regime is MANY SHORT chains — but short chains
+only work if they start in (and correctly across) the posterior's modes.
+Adaptive tempered SMC (`gptools_tpu.infer.smc`) provides exactly that: its
+final particle ensemble is an (approximately) correctly-weighted posterior
+sample, including multimodal mass splits that independent prior-initialized
+NUTS chains get stuck on (the Gibbs-kernel profile posteriors of
+BASELINE.json config 4 are the motivating case). The pipeline:
+
+1. SMC to beta = 1 -> particles + empirical covariance;
+2. initialize C >> particles chains by resampling the ensemble;
+3. short NUTS warmup (step size only — the mass matrix comes from the SMC
+   covariance diagonal) + sampling.
+
+This is the configuration `bench.py` measures for the north-star ESS/s.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gptools_tpu.infer import nuts as _nuts
+from gptools_tpu.infer import smc as _smc
+from gptools_tpu.infer.hmc import SampleResult
+
+__all__ = ["smc_then_nuts"]
+
+
+def smc_then_nuts(
+    model,
+    data,
+    key: jax.Array,
+    num_chains: int = 1024,
+    num_warmup: int = 150,
+    num_samples: int = 350,
+    num_particles: int = 1024,
+    max_depth: int = 8,
+    target_accept: float = 0.85,
+    smc_kwargs: Optional[dict] = None,
+) -> SampleResult:
+    """Run SMC, then NUTS chains initialized from the particle ensemble."""
+    k_smc, k_res, k_nuts = jax.random.split(key, 3)
+    smc_res = _smc.sample(
+        model, data, k_smc, num_particles=num_particles, **(smc_kwargs or {})
+    )
+    particles = smc_res.u[0]  # (N, P) unconstrained
+
+    idx = jax.random.randint(k_res, (num_chains,), 0, particles.shape[0])
+    u0 = particles[idx]
+
+    # SMC ensemble variance = excellent diagonal mass matrix; freeze it
+    var = jnp.var(particles, axis=0) + 1e-10
+
+    def logp(u):
+        return model.log_posterior_u(u, data)
+
+    res = _nuts.sample(
+        logp,
+        u0,
+        k_nuts,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        max_depth=max_depth,
+        target_accept=target_accept,
+        adapt_mass=False,
+        inv_mass0=var,
+    )
+    thetas = jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    res = res._replace(thetas=thetas)
+    res.diagnostics["smc_log_evidence"] = smc_res.diagnostics["log_evidence"]
+    res.diagnostics["smc_rounds"] = smc_res.diagnostics["num_rounds"]
+    return res

@@ -1,0 +1,84 @@
+"""Baseline configs build + run; checkpoint round-trip; plotting; errors."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu import configs
+from gptools_tpu.utils import plotting
+from gptools_tpu.utils.checkpoint import restore_state, save_state
+from gptools_tpu.utils.error_handling import (
+    GPImpossibleParamsError,
+    check_finite_params,
+)
+
+
+@pytest.mark.parametrize("cid", [1, 2, 3, 4, 5])
+def test_configs_build_and_evaluate(cid):
+    prob = configs.ALL_CONFIGS[cid]()
+    theta = jnp.asarray(prob.model.initial_params)
+    ll = float(prob.model.log_marginal(theta, prob.data))
+    assert np.isfinite(ll), (cid, ll)
+    # gradients exist too
+    g = jax.grad(lambda t: prob.model.log_marginal(t, prob.data))(theta)
+    assert np.isfinite(np.asarray(g)).all(), cid
+
+
+def test_config1_map_runs(key):
+    prob = configs.config1_se_map()
+    from gptools_tpu.infer import map_fit
+
+    res = map_fit.optimize(
+        prob.model, prob.data, key, random_starts=4, num_steps=60
+    )
+    assert np.isfinite(float(res.log_posterior))
+
+
+def test_config5_has_transform():
+    prob = configs.config5_multihost_profile()
+    assert prob.data.has_transform
+    assert prob.data.num_obs == prob.data.T.shape[0]
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    state = {
+        "u": jax.random.normal(key, (8, 3)),
+        "da": {"log_eps": jnp.asarray(-2.3)},
+        "count": jnp.asarray(17),
+    }
+    path = os.path.join(tmp_path, "ckpt")
+    save_state(path, state)
+    back = restore_state(path, template=state)
+    np.testing.assert_allclose(np.asarray(back["u"]), np.asarray(state["u"]))
+    assert int(back["count"]) == 17
+
+
+def test_compute_stats_and_plots(tmp_path, rng):
+    vals = rng.standard_normal((500, 20)) * 0.3 + np.linspace(0, 1, 20)
+    mean, lo, hi = plotting.compute_stats(vals)
+    np.testing.assert_allclose(mean, np.linspace(0, 1, 20), atol=0.08)
+    m2, l2, h2 = plotting.compute_stats(vals, robust=True)
+    np.testing.assert_allclose(m2, mean, atol=0.08)
+
+    samples = rng.standard_normal((4, 100, 3))
+    summary = plotting.summarize_sampler(samples, param_names=["a", "b", "c"])
+    assert len(summary["mean"]) == 3 and "ci_low" in summary
+
+    fig = plotting.plot_sampler(samples, path=os.path.join(tmp_path, "corner.png"))
+    assert os.path.exists(os.path.join(tmp_path, "corner.png"))
+    ax = plotting.univariate_envelope_plot(
+        np.linspace(0, 1, 20), mean, std=(hi / 1.96),
+        path=os.path.join(tmp_path, "env.png"),
+    )
+    assert os.path.exists(os.path.join(tmp_path, "env.png"))
+
+
+def test_error_handling():
+    with pytest.raises(GPImpossibleParamsError):
+        check_finite_params([1.0, np.nan])
+    with pytest.raises(GPImpossibleParamsError):
+        check_finite_params([2.0], bounds=[(0.0, 1.0)])
+    check_finite_params([0.5], bounds=[(0.0, 1.0)])  # ok
