@@ -1,0 +1,121 @@
+"""End-to-end tests of the reference-compatible GaussianProcess wrapper API
+(SURVEY.md section 2.1 component inventory, GP core row)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu import (
+    DiagonalNoiseKernel,
+    GaussianProcess,
+    SquaredExponentialKernel,
+)
+from gptools_tpu.utils.priors import LogNormalJointPrior
+
+
+def _gp(rng, noise=False):
+    k = SquaredExponentialKernel(
+        hyperprior=LogNormalJointPrior([0.0, -0.7], [0.8, 0.8])
+    )
+    nk = DiagonalNoiseKernel(n=0) if noise else None
+    gp = GaussianProcess(k, noise_k=nk)
+    X = np.linspace(0, 3, 30)
+    y = np.sin(2 * X) + 0.1 * rng.standard_normal(30)
+    gp.add_data(X, y, err_y=0.1)
+    return gp, X, y
+
+
+def test_add_data_update_ll(rng):
+    gp, X, y = _gp(rng)
+    neg_lp = float(gp.update_hyperparameters(jnp.array([1.0, 0.5])))
+    assert np.isfinite(neg_lp)
+    state = gp.compute_K_L_alpha_ll()
+    assert np.isfinite(float(state.ll))
+    # ll property caches
+    assert float(gp.ll) == float(state.ll)
+
+
+def test_optimize_then_predict(rng, key):
+    gp, X, y = _gp(rng)
+    res = gp.optimize_hyperparameters(random_starts=4, key=key, num_steps=80)
+    yhat, std = gp.predict(X)
+    assert yhat.shape == (30,)
+    # fit should interpolate to within a few noise sigmas
+    assert float(jnp.max(jnp.abs(yhat - jnp.asarray(y)))) < 0.5
+    # derivative prediction ~ 2cos(2x) at interior points
+    d, dstd = gp.predict(np.array([1.5]), n=1)
+    assert abs(float(d[0]) - 2 * np.cos(3.0)) < 0.6
+    # full covariance output
+    m, cov = gp.predict(X[:5], return_cov=True)
+    assert cov.shape == (5, 5)
+    w = np.linalg.eigvalsh(np.asarray(cov))
+    assert w.min() > -1e-6
+
+
+def test_output_transform_prediction(rng, key):
+    gp, X, y = _gp(rng)
+    gp.optimize_hyperparameters(random_starts=2, key=key, num_steps=60)
+    Xs = np.linspace(0.5, 2.5, 9)
+    O = np.full((1, 9), 1.0 / 9)  # average of f over the grid
+    m_t, std_t = gp.predict(Xs, output_transform=O)
+    m_plain, _ = gp.predict(Xs)
+    assert np.isclose(float(m_t[0]), float(np.mean(np.asarray(m_plain))), atol=1e-8)
+
+
+def test_sample_posterior_and_predict_mcmc(rng, key):
+    gp, X, y = _gp(rng)
+    res = gp.sample_hyperparameter_posterior(
+        nsamp=150, burn=150, num_chains=4, sampler="nuts", key=key
+    )
+    assert res.thetas.shape == (4, 150, 2)
+    means, stds = gp.compute_from_MCMC(X[:4], thin=50)
+    assert means.shape[1] == 4
+    m, s = gp.predict_MCMC(X[:4], thin=50)
+    assert m.shape == (4,) and s.shape == (4,)
+    m2, cov2 = gp.predict_MCMC(X[:4], thin=50, return_cov=True)
+    assert cov2.shape == (4, 4)
+
+
+def test_draw_sample_shapes(rng, key):
+    gp, X, y = _gp(rng)
+    gp.update_hyperparameters(jnp.array([1.0, 0.5]))
+    draws = gp.draw_sample(np.linspace(0, 3, 12), num_samp=7, key=key)
+    assert draws.shape == (12, 7)
+    draws_eig = gp.draw_sample(
+        np.linspace(0, 3, 12), num_samp=7, key=key, method="eig", num_eig=5
+    )
+    assert draws_eig.shape == (12, 7)
+
+
+def test_remove_outliers(rng):
+    gp, X, y = _gp(rng)
+    # poison two points
+    y_bad = y.copy()
+    y_bad[5] += 5.0
+    y_bad[20] -= 4.0
+    gp2 = GaussianProcess(
+        SquaredExponentialKernel(
+            hyperprior=LogNormalJointPrior([0.0, -0.7], [0.8, 0.8])
+        )
+    )
+    gp2.add_data(X, y_bad, err_y=0.1)
+    gp2.update_hyperparameters(jnp.array([1.0, 0.5]))
+    n_removed = gp2.remove_outliers(thresh=3.0)
+    assert n_removed >= 2
+    assert gp2.data.num_obs == 30 - n_removed
+
+
+def test_compute_ll_matrix(rng):
+    gp, X, y = _gp(rng)
+    grid, axes = gp.compute_ll_matrix([(0.5, 2.0), (0.2, 1.0)], 6)
+    assert grid.shape == (6, 6)
+    assert np.isfinite(np.asarray(grid)).all()
+
+
+def test_noise_kernel_hyperparam_inferred(rng, key):
+    gp, X, y = _gp(rng, noise=True)
+    assert gp.model.num_params == 3
+    res = gp.optimize_hyperparameters(random_starts=3, key=key, num_steps=80)
+    sn = float(res.theta[2])
+    assert 0.0 <= sn < 1.0  # should find noise near the true 0.1 scale
