@@ -17,6 +17,7 @@ Pool over posterior samples         ``vmap`` + mesh sharding of the sample
 =================================  =======================================
 """
 
+from gptools_tpu.parallel import distributed
 from gptools_tpu.parallel.mesh import (
     chain_sharding,
     make_mesh,
@@ -26,6 +27,7 @@ from gptools_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "distributed",
     "make_mesh",
     "chain_sharding",
     "shard_chains",

@@ -78,3 +78,17 @@ def test_chain_count_must_divide_mesh(key):
     u0 = jnp.zeros((10, 2))
     with pytest.raises(ValueError):
         sharded_sample(_gauss_logp, u0, key, mesh=mesh)
+
+
+def test_pod_mesh_and_2d_sharding(key):
+    from gptools_tpu.parallel import distributed
+
+    distributed.initialize()  # no-op single-process
+    assert not distributed.is_multiprocess()
+    mesh = distributed.pod_mesh()
+    assert mesh.devices.shape == (1, len(jax.devices()))
+    sh = distributed.chain_sharding_2d(mesh)
+    x = jax.device_put(jnp.arange(32.0).reshape(16, 2), sh)
+    # hierarchical mean over the sharded chains axis
+    m = jax.jit(lambda v: jnp.mean(v, axis=0))(x)
+    np.testing.assert_allclose(np.asarray(m), np.arange(32.0).reshape(16, 2).mean(0))
