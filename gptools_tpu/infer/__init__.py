@@ -98,7 +98,7 @@ def model_logp(model, data):
 def _initial_positions(model, key, num_chains, init):
     if init == "prior":
         thetas = model.hyperprior.sample(key, (num_chains,))
-        return jax.vmap(model.u_of_theta)(thetas)
+        return jax.jit(jax.vmap(model.u_of_theta))(thetas)
     # jitter around current initial params
     u0 = model.u_of_theta(jnp.asarray(model.initial_params))
     noise = 0.1 * jax.random.normal(key, (num_chains, model.num_free_params))
@@ -107,5 +107,5 @@ def _initial_positions(model, key, num_chains, init):
 
 def _attach_thetas(model, result: "SampleResult") -> "SampleResult":
     C, S, P = result.u.shape
-    thetas = jax.vmap(jax.vmap(model.theta_of_u))(result.u)
+    thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(result.u)
     return result._replace(thetas=thetas)

@@ -53,7 +53,7 @@ def optimize(
 
     k_draw, _ = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_draw, (random_starts,))
-    u0s = jax.vmap(model.u_of_theta)(thetas0)
+    u0s = jax.jit(jax.vmap(model.u_of_theta))(thetas0)
     if include_current:
         u_cur = model.u_of_theta(jnp.asarray(model.initial_params, u0s.dtype))
         u0s = jnp.concatenate([u_cur[None, :], u0s], axis=0)
@@ -98,13 +98,13 @@ def optimize(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    us, lps = jax.vmap(run_one)(u0s)
+    us, lps = jax.jit(jax.vmap(run_one))(u0s)
     finite = jnp.isfinite(lps)
     lps_masked = jnp.where(finite, lps, -jnp.inf)
     best = jnp.argmax(lps_masked)
     u_best = us[best]
     theta_best = model.theta_of_u(u_best)
-    all_thetas = jax.vmap(model.theta_of_u)(us)
+    all_thetas = jax.jit(jax.vmap(model.theta_of_u))(us)
     return MAPResult(
         theta=theta_best,
         u=u_best,

@@ -70,7 +70,7 @@ def smc_then_nuts(
         adapt_mass=False,
         inv_mass0=var,
     )
-    thetas = jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(res.u)
     res = res._replace(thetas=thetas)
     res.diagnostics["smc_log_evidence"] = smc_res.diagnostics["log_evidence"]
     res.diagnostics["smc_rounds"] = smc_res.diagnostics["num_rounds"]

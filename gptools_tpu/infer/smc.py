@@ -185,13 +185,13 @@ def sample(
 
     k_init, key = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_init, (num_particles,))
-    u0 = jax.vmap(model.u_of_theta)(thetas0)
+    u0 = jax.jit(jax.vmap(model.u_of_theta))(thetas0)
     dtype = u0.dtype
 
     state = SMCState(
         u=u0,
-        log_like=jax.vmap(log_like_fn)(u0),
-        log_prior=jax.vmap(log_prior_fn)(u0),
+        log_like=jax.jit(jax.vmap(log_like_fn))(u0),
+        log_prior=jax.jit(jax.vmap(log_prior_fn))(u0),
         beta=jnp.zeros((), dtype),
         log_z=jnp.zeros((), dtype),
         key=key,
@@ -220,7 +220,7 @@ def sample(
                 f"acc={float(state.acc_rate):.2f} logZ={float(state.log_z):.2f}"
             )
 
-    thetas = jax.vmap(embed)(state.u)
+    thetas = jax.jit(jax.vmap(embed))(state.u)
     log_post = state.log_like + state.log_prior
     diagnostics = {
         "log_evidence": state.log_z,

@@ -75,7 +75,7 @@ def ess_per_param(samples: jax.Array) -> jax.Array:
     samples = jnp.asarray(samples)
     if samples.ndim == 2:
         samples = samples[None]
-    return jax.vmap(ess, in_axes=2)(samples)
+    return jax.jit(jax.vmap(ess, in_axes=2))(samples)
 
 
 def split_rhat(samples: jax.Array) -> jax.Array:
