@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from gptools_tpu.infer import advi, hmc, map_fit, nuts, pipeline, smc
+from gptools_tpu.infer import advi, chees, hmc, map_fit, nuts, pipeline, smc
 from gptools_tpu.infer.hmc import SampleResult
 
 __all__ = [
@@ -26,6 +26,7 @@ __all__ = [
     "hmc",
     "nuts",
     "smc",
+    "chees",
     "advi",
     "map_fit",
     "pipeline",
@@ -54,9 +55,9 @@ def run_sampler(
     dim = model.num_free_params
     k_init, k_run = jax.random.split(jax.random.PRNGKey(key) if isinstance(key, int) else key)
 
-    if sampler in ("nuts", "hmc"):
+    if sampler in ("nuts", "hmc", "chees"):
         u0 = _initial_positions(model, k_init, num_chains, init)
-        mod = nuts if sampler == "nuts" else hmc
+        mod = {"nuts": nuts, "hmc": hmc, "chees": chees}[sampler]
         result = mod.sample(
             logp,
             u0,
@@ -66,6 +67,16 @@ def run_sampler(
             **kwargs,
         )
         return _attach_thetas(model, result)
+    if sampler in ("smc+chees", "smc-chees"):
+        return pipeline.smc_then_chees(
+            model,
+            data,
+            k_run,
+            num_chains=num_chains,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            **kwargs,
+        )
     if sampler in ("smc+nuts", "smc-nuts"):
         return pipeline.smc_then_nuts(
             model,

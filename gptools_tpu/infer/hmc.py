@@ -275,6 +275,7 @@ def sample(
     inv_mass0=None,
     jitter: float = 0.2,
     transition_builder: Optional[Callable] = None,
+    metrics=None,
 ) -> SampleResult:
     """Warmup + sampling driver for fixed-length HMC (and, via
     ``transition_builder``, NUTS). ``u0``: (chains, P) initial positions.
@@ -318,6 +319,8 @@ def sample(
             target_accept=target_accept,
         )
         div_warmup = div_warmup + jnp.sum(outs["diverged"]).astype(jnp.int32)
+        if metrics is not None:
+            metrics.log_window(phase, length, outs)
         if phase == "slow" and adapt_mass:
             inv_mass = welford_variance(welford).astype(dtype)
             welford = welford_init(P, dtype)
@@ -340,6 +343,8 @@ def sample(
         target_accept=target_accept,
     )
 
+    if metrics is not None:
+        metrics.log_window("sampling", num_samples, outs)
     u = jnp.swapaxes(outs["u"], 0, 1)            # (C, S, P)
     log_prob = jnp.swapaxes(outs["log_prob"], 0, 1)
     diagnostics = {

@@ -209,3 +209,19 @@ def test_map_on_gp(rng, key):
     u0 = model.u_of_theta(jnp.asarray(model.initial_params))
     lp0 = float(model.log_posterior_u(u0, data))
     assert float(res.log_posterior) >= lp0
+
+
+def test_chees_gaussian_moments(key):
+    from gptools_tpu.infer import chees
+
+    u0 = jax.random.normal(key, (32, 3))
+    res = chees.sample(
+        gauss_logp, u0, key, num_warmup=400, num_samples=500
+    )
+    assert res.u.shape == (32, 500, 3)
+    assert float(res.diagnostics["mean_accept"]) > 0.4
+    _check_moments(res.u, 0.12, 0.5)
+    # trajectory length should have adapted away from its tiny initial value
+    assert float(res.diagnostics["trajectory_time"]) > float(
+        res.diagnostics["step_size"]
+    )
