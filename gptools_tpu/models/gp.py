@@ -585,6 +585,7 @@ class GaussianProcess:
         burn: int = 500,
         num_chains: int = 8,
         sampler: str = "nuts",
+        sampler_type: Optional[str] = None,
         key=None,
         **kwargs,
     ):
@@ -594,6 +595,10 @@ class GaussianProcess:
         (`gptools_tpu.infer`)."""
         from gptools_tpu.infer import run_sampler
 
+        if sampler_type is not None:  # reference spelling
+            sampler = {"ensemble": "nuts", "pt": "smc"}.get(
+                sampler_type, sampler_type
+            )
         if key is None:
             key = jax.random.PRNGKey(0)
         result = run_sampler(

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["autocorr", "ess", "split_rhat", "summarize_samples", "ess_per_param"]
+__all__ = ["autocorr", "ess", "split_rhat", "summarize_samples", "ess_per_param", "rank_normalize", "bulk_ess_per_param"]
 
 
 def _next_pow2(n: int) -> int:
@@ -130,3 +130,26 @@ def summarize_samples(
         out["wall_time_s"] = float(wall_time)
         out["ess_per_s"] = ess_v / float(wall_time)
     return out
+
+
+def rank_normalize(samples: jax.Array) -> jax.Array:
+    """Rank-normalize draws (Vehtari et al. 2021): map pooled ranks through
+    the normal quantile function. Robust to heavy tails; input shape
+    (num_chains, num_samples[, dim]), normalized over the pooled sample."""
+    s = jnp.asarray(samples)
+    shape = s.shape
+    flat = s.reshape(-1, *shape[2:]) if s.ndim >= 2 else s
+    n = flat.shape[0]
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0) + 1.0
+    u = (ranks - 0.375) / (n + 0.25)  # Blom offset
+    z = jnp.sqrt(2.0) * jax.scipy.special.erfinv(2.0 * u - 1.0)
+    return z.reshape(shape)
+
+
+def bulk_ess_per_param(samples: jax.Array) -> jax.Array:
+    """Rank-normalized ("bulk") ESS per parameter — the robustness variant
+    of `ess_per_param` (Vehtari et al. 2021)."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[None]
+    return ess_per_param(rank_normalize(samples))

@@ -82,3 +82,15 @@ def test_error_handling():
     with pytest.raises(GPImpossibleParamsError):
         check_finite_params([2.0], bounds=[(0.0, 1.0)])
     check_finite_params([0.5], bounds=[(0.0, 1.0)])  # ok
+
+
+def test_rank_normalized_ess(rng):
+    from gptools_tpu.utils.diagnostics import bulk_ess_per_param, ess_per_param
+
+    chains = rng.standard_normal((4, 300, 2))
+    # heavy-tailed second param
+    chains[..., 1] = np.sign(chains[..., 1]) * np.abs(chains[..., 1]) ** 3
+    plain = np.asarray(ess_per_param(chains))
+    bulk = np.asarray(bulk_ess_per_param(chains))
+    assert np.all(bulk > 100)
+    assert np.all(np.isfinite(plain))
