@@ -737,6 +737,27 @@ class GaussianProcess:
             return mean, jnp.sqrt(jnp.clip(var, 0.0))
         return mean
 
+    # -- serving --------------------------------------------------------------
+    def freeze_predictor(self, bucket: int = 64):
+        """Precompute (L, alpha) at the current hyperparameters and return a
+        jitted low-latency predictor (`gptools_tpu.models.serve`)."""
+        from gptools_tpu.models.serve import FrozenPredictor
+
+        return FrozenPredictor(self.model, self.data, self.theta, bucket=bucket)
+
+    def freeze_mcmc_predictor(self, thetas=None, max_samples: int = 512):
+        """Precompute a batch of posterior states and return a jitted
+        MCMC-marginalized envelope predictor."""
+        from gptools_tpu.models.serve import FrozenMCMCPredictor
+
+        if thetas is None:
+            if self.sample_result is None:
+                raise ValueError("no MCMC samples available")
+            thetas = self.sample_result.thetas
+        return FrozenMCMCPredictor(
+            self.model, self.data, thetas, max_samples=max_samples
+        )
+
     # -- diagnostics ---------------------------------------------------------
     def compute_ll_matrix(self, bounds: Sequence[tuple], num_pts) -> tuple:
         """Grid evaluation of the log posterior over free parameters

@@ -119,3 +119,23 @@ def test_noise_kernel_hyperparam_inferred(rng, key):
     res = gp.optimize_hyperparameters(random_starts=3, key=key, num_steps=80)
     sn = float(res.theta[2])
     assert 0.0 <= sn < 1.0  # should find noise near the true 0.1 scale
+
+
+def test_frozen_predictors_match_live(rng, key):
+    gp, X, y = _gp(rng)
+    gp.update_hyperparameters(jnp.array([1.0, 0.5]))
+    fp = gp.freeze_predictor()
+    m_live, s_live = gp.predict(X[:7])
+    m_froz, s_froz = fp(X[:7])
+    np.testing.assert_allclose(np.asarray(m_froz), np.asarray(m_live), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_froz), np.asarray(s_live), rtol=1e-8)
+    # derivative queries + ragged sizes through the bucket pad
+    d1 = fp(np.array([1.0, 2.0, 2.5]), n=1)[0]
+    assert d1.shape == (3,)
+
+    gp.sample_hyperparameter_posterior(nsamp=100, burn=100, num_chains=4, key=key)
+    fmc = gp.freeze_mcmc_predictor(max_samples=64)
+    m1, s1 = fmc(X[:5])
+    m2, s2 = gp.predict_MCMC(X[:5], thetas=np.asarray(fmc.thetas))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
