@@ -119,3 +119,28 @@ def model_logp_u(model, data):
 def _prior_inits(model, key, n):
     thetas = model.hyperprior.sample(key, (n,))
     return jax.vmap(model.u_of_theta)(thetas)
+
+
+def test_hmc_parity_matern_warp_mean(rng, key):
+    """Config-3 style: Matern-5/2 + BetaWarp input warping + linear mean,
+    multi-chain HMC vs the ensemble oracle."""
+    from gptools_tpu import configs
+    from gptools_tpu.infer import hmc
+
+    prob = configs.config3_matern_mean_warp_hmc()
+    model, data = prob.model, prob.data
+    res = hmc.sample(
+        model_logp_u(model, data),
+        _prior_inits(model, key, 12),
+        key,
+        num_warmup=400,
+        num_samples=500,
+        num_steps=24,
+    )
+    thetas = np.asarray(
+        jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    ).reshape(-1, model.num_params)
+    flat_oracle = _run_oracle(
+        model, data, rng, num_steps=2200, burn=700, walkers=24
+    )
+    _moment_parity(thetas, flat_oracle, "hmc-vs-ensemble-config3", z_tol=5.0)
