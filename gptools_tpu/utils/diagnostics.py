@@ -36,7 +36,9 @@ def autocorr(x: jax.Array) -> jax.Array:
     xc = x - jnp.mean(x, axis=-1, keepdims=True)
     f = jnp.fft.rfft(xc, n=m, axis=-1)
     acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=-1)[..., :n]
-    return acov / acov[..., :1]
+    # zero-variance (stuck) series: define autocorr = 0 instead of 0/0
+    a0 = acov[..., :1]
+    return jnp.where(a0 > 0, acov / jnp.where(a0 > 0, a0, 1.0), 0.0)
 
 
 def ess(chains: jax.Array) -> jax.Array:

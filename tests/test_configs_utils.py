@@ -94,3 +94,17 @@ def test_rank_normalized_ess(rng):
     bulk = np.asarray(bulk_ess_per_param(chains))
     assert np.all(bulk > 100)
     assert np.all(np.isfinite(plain))
+
+
+def test_ess_finite_with_stuck_chains(rng):
+    """A zero-variance (stuck) chain must not poison ESS with NaN (observed
+    with 4096-chain ChEES runs where a few chains reject every proposal)."""
+    from gptools_tpu.utils.diagnostics import ess_per_param, split_rhat
+
+    chains = rng.standard_normal((8, 200, 3))
+    chains[2] = 1.7  # completely stuck chain, all params
+    ess = np.asarray(ess_per_param(chains))
+    assert np.isfinite(ess).all()
+    # stuck chain inflates between-chain variance -> ESS should be depressed
+    ess_clean = np.asarray(ess_per_param(np.delete(chains, 2, axis=0)))
+    assert (ess < ess_clean * 1.5).all()

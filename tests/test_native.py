@@ -57,3 +57,11 @@ def test_fallback_without_library(monkeypatch, rng):
     got = native.ess_batch(chains)
     want = np.asarray(ess_per_param(chains))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_native_matches_jax_with_stuck_chain(lib, rng):
+    chains = _ar1_chains(rng, c=4, s=200, d=2)
+    chains[1] = 0.37  # stuck
+    got = native.ess_batch(chains)
+    want = np.asarray(ess_per_param(chains))
+    np.testing.assert_allclose(got, want, rtol=1e-8)
