@@ -68,6 +68,8 @@ from gptools_tpu.utils.priors import (
 )
 from gptools_tpu.utils import diagnostics
 from gptools_tpu.utils.diagnostics import ess, split_rhat, summarize_samples
+from gptools_tpu import configs
+from gptools_tpu.models.serve import FrozenMCMCPredictor, FrozenPredictor
 
 __version__ = "0.1.0"
 
@@ -109,4 +111,7 @@ __all__ = [
     "ess",
     "split_rhat",
     "summarize_samples",
+    "configs",
+    "FrozenPredictor",
+    "FrozenMCMCPredictor",
 ]

@@ -485,6 +485,78 @@ class GaussianProcess:
 
     # -- data ---------------------------------------------------------------
     @property
+    def num_dim(self):
+        return self.model.kernel.num_dim
+
+    @property
+    def X(self):
+        """Latent evaluation points (reference ``GaussianProcess.X``)."""
+        return self.data.Xf
+
+    @property
+    def y(self):
+        return self.data.y
+
+    @property
+    def err_y(self):
+        return self.data.err_y
+
+    @property
+    def n(self):
+        """Derivative multi-indices per latent point (reference ``n``)."""
+        import numpy as _np
+
+        return _np.asarray(
+            [self.data.multi_indices[i] for i in _np.asarray(self.data.nid)]
+        )
+
+    @property
+    def T(self):
+        return self.data.T
+
+    @property
+    def K(self):
+        """Observation covariance at the current hyperparameters."""
+        Kobs, _ = self.model.obs_cov_and_resid(self.theta, self.data)
+        return Kobs
+
+    @property
+    def L(self):
+        return self.compute_K_L_alpha_ll().L
+
+    @property
+    def alpha(self):
+        return self.compute_K_L_alpha_ll().alpha
+
+    @property
+    def params(self):
+        """Current hyperparameter values (reference ``params`` view)."""
+        return self.theta
+
+    @property
+    def free_params(self):
+        return self.model.extract_free(self.theta)
+
+    @free_params.setter
+    def free_params(self, value):
+        self.theta = self.model.embed_free(jnp.asarray(value))
+        self._state = None
+
+    @property
+    def param_names(self):
+        return self.model.param_names
+
+    @property
+    def free_param_names(self):
+        return tuple(
+            self.model.param_names[i] for i in self.model.free_idx
+        )
+
+    @property
+    def hyperprior(self):
+        return self.model.hyperprior
+
+    @property
     def k(self):
         return self.model.kernel
 

@@ -139,3 +139,20 @@ def test_frozen_predictors_match_live(rng, key):
     m2, s2 = gp.predict_MCMC(X[:5], thetas=np.asarray(fmc.thetas))
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+
+def test_reference_attribute_views(rng):
+    gp, X, y = _gp(rng)
+    gp.update_hyperparameters(jnp.array([1.0, 0.5]))
+    assert gp.num_dim == 1
+    assert gp.X.shape == (30, 1)
+    assert gp.y.shape == (30,) and gp.err_y.shape == (30,)
+    assert gp.n.shape == (30, 1) and (gp.n == 0).all()
+    assert gp.T is None
+    assert gp.K.shape == (30, 30)
+    assert gp.L.shape == (30, 30) and gp.alpha.shape == (30,)
+    np.testing.assert_allclose(np.asarray(gp.params), [1.0, 0.5])
+    gp.free_params = jnp.array([1.2, 0.6])
+    np.testing.assert_allclose(np.asarray(gp.theta), [1.2, 0.6])
+    assert gp.param_names == ("k.sigma_f", "k.l_1")
+    assert gp.hyperprior.dim == 2
