@@ -116,17 +116,23 @@ def chees_step(
     g_out = jnp.where(accept[:, None], gn, state.grads)
 
     # --- ChEES trajectory-length adaptation (pooled across chains) ---
+    # diverged chains produce NaN endpoints; mask them out of every pooled
+    # statistic or the adaptation (and then tau) is silently poisoned
+    finite = jnp.all(jnp.isfinite(qn), axis=1) & jnp.isfinite(accept_prob)
+    qn_safe = jnp.where(finite[:, None], qn, 0.0)
+    n_fin = jnp.maximum(jnp.sum(finite.astype(dtype)), 1.0)
     mean_q = jnp.mean(state.qs, axis=0)    # psum-style cross-chain means
-    mean_qn = jnp.mean(qn, axis=0)
+    mean_qn = jnp.sum(qn_safe, axis=0) / n_fin
     dq0 = state.qs - mean_q
-    dq1 = qn - mean_qn
-    vel = pn * inv_mass
+    dq1 = qn_safe - mean_qn
+    vel = jnp.where(finite[:, None], pn * inv_mass, 0.0)
     per_chain = (
         (jnp.sum(dq1 * dq1, axis=1) - jnp.sum(dq0 * dq0, axis=1))
         * jnp.sum(dq1 * vel, axis=1)
     )
-    w = accept_prob
+    w = jnp.where(finite, accept_prob, 0.0)
     grad_tau = jnp.sum(w * per_chain) / jnp.maximum(jnp.sum(w), 1e-6)
+    grad_tau = jnp.where(jnp.isfinite(grad_tau), grad_tau, 0.0)
 
     def adam_update(log_tau, m, v, g, t):
         b1, b2, eps_ = 0.9, 0.999, 1e-8
