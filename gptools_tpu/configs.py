@@ -240,7 +240,7 @@ def config5_multihost_profile(seed: int = 0, n_points: int = 30) -> BaselineProb
         "line-integral observation; collective adaptation",
         model=model,
         data=b.build(),
-        sampler="smc+nuts",
+        sampler="smc+chees",
         sampler_kwargs=dict(num_chains=1024, num_warmup=100, num_samples=300),
         truth=dict(profile=prof, X=x, err=err, integral=true_integral),
     )

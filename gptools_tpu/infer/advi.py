@@ -1,12 +1,12 @@
-"""Automatic Differentiation Variational Inference (mean-field) over GP
-hyperparameters.
+"""Automatic Differentiation Variational Inference over GP hyperparameters.
 
 No reference counterpart (gptools predates VI tooling); required by the
 north star as the third inference family next to NUTS/HMC and SMC. Standard
-ADVI (Kucukelbir et al. 2017): a diagonal Gaussian in the unconstrained
-bijector space, reparameterized ELBO gradients, optax Adam, vmapped Monte
-Carlo samples — each ELBO sample is one batched-Cholesky evidence
-evaluation, so the whole fit is a single fused scan on-chip.
+ADVI (Kucukelbir et al. 2017): a Gaussian in the unconstrained bijector
+space — mean-field (diagonal) or full-rank (Cholesky-parameterized) —
+reparameterized ELBO gradients, optax Adam, vmapped Monte Carlo samples;
+each ELBO sample is one batched-Cholesky evidence evaluation, so the whole
+fit is a single fused scan on-chip.
 """
 
 from __future__ import annotations
@@ -24,8 +24,9 @@ __all__ = ["sample", "ADVIResult"]
 
 class ADVIResult(NamedTuple):
     mu: jax.Array
-    log_sigma: jax.Array
+    log_sigma: jax.Array          # diagonal log-scales
     elbo_trace: jax.Array
+    chol_offdiag: jax.Array = None  # strictly-lower factor entries (full-rank)
 
 
 def fit(
@@ -35,8 +36,10 @@ def fit(
     num_steps: int = 1500,
     num_elbo_samples: int = 16,
     learning_rate: float = 0.05,
+    full_rank: bool = False,
 ) -> ADVIResult:
-    """Fit q(u) = N(mu, diag(sigma^2)) maximizing the ELBO."""
+    """Fit q(u) = N(mu, Sigma) maximizing the ELBO; ``full_rank=False`` uses
+    Sigma = diag(sigma^2), ``True`` a dense Cholesky factor."""
     nf = model.num_free_params
 
     def logp(u):
@@ -47,14 +50,27 @@ def fit(
         "mu": u0,
         "log_sigma": jnp.full((nf,), -2.0, u0.dtype),
     }
+    if full_rank:
+        params["off"] = jnp.zeros((nf * (nf - 1) // 2,), u0.dtype)
+        tril_r, tril_c = jnp.tril_indices(nf, k=-1)
     opt = optax.adam(learning_rate)
 
+    def _chol(params):
+        L = jnp.diag(jnp.exp(params["log_sigma"]))
+        if full_rank:
+            L = L.at[tril_r, tril_c].set(params["off"])
+        return L
+
     def neg_elbo(params, key):
-        sigma = jnp.exp(params["log_sigma"])
         z = jax.random.normal(key, (num_elbo_samples, nf), u0.dtype)
-        us = params["mu"] + sigma * z
+        if full_rank:
+            L = _chol(params)
+            us = params["mu"] + z @ L.T
+        else:
+            us = params["mu"] + jnp.exp(params["log_sigma"]) * z
         lps = jax.vmap(logp)(us)
         lps = jnp.where(jnp.isfinite(lps), lps, -1e30)
+        # entropy of N(mu, L L^T): sum log diag L + const
         entropy = jnp.sum(params["log_sigma"]) + 0.5 * nf * (
             1.0 + jnp.log(2.0 * jnp.pi)
         )
@@ -73,7 +89,10 @@ def fit(
     keys = jax.random.split(key, num_steps)
     (params, _), elbos = jax.lax.scan(step, (params, opt.init(params)), keys)
     return ADVIResult(
-        mu=params["mu"], log_sigma=params["log_sigma"], elbo_trace=elbos
+        mu=params["mu"],
+        log_sigma=params["log_sigma"],
+        elbo_trace=elbos,
+        chol_offdiag=params.get("off"),
     )
 
 
@@ -85,6 +104,7 @@ def sample(
     num_steps: int = 1500,
     num_elbo_samples: int = 16,
     learning_rate: float = 0.05,
+    full_rank: bool = False,
     **_,
 ) -> SampleResult:
     """Fit ADVI, then draw ``num_samples`` posterior-approximation samples."""
@@ -96,10 +116,17 @@ def sample(
         num_steps=num_steps,
         num_elbo_samples=num_elbo_samples,
         learning_rate=learning_rate,
+        full_rank=full_rank,
     )
+    nf = res.mu.shape[0]
     sigma = jnp.exp(res.log_sigma)
-    z = jax.random.normal(k_draw, (num_samples, res.mu.shape[0]), res.mu.dtype)
-    us = res.mu + sigma * z
+    z = jax.random.normal(k_draw, (num_samples, nf), res.mu.dtype)
+    if full_rank and res.chol_offdiag is not None:
+        tril_r, tril_c = jnp.tril_indices(nf, k=-1)
+        L = jnp.diag(sigma).at[tril_r, tril_c].set(res.chol_offdiag)
+        us = res.mu + z @ L.T
+    else:
+        us = res.mu + sigma * z
     thetas = jax.vmap(model.theta_of_u)(us)
     lps = jax.vmap(lambda u: model.log_posterior_u(u, data))(us)
     diagnostics = {

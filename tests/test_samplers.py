@@ -225,3 +225,31 @@ def test_chees_gaussian_moments(key):
     assert float(res.diagnostics["trajectory_time"]) > float(
         res.diagnostics["step_size"]
     )
+
+
+def test_advi_full_rank_recovers_correlation(key):
+    """Full-rank ADVI on a correlated Gaussian: the fitted covariance must
+    capture the off-diagonal (mean-field cannot)."""
+    from gptools_tpu.infer import advi
+
+    class _CorrModel(_ToyModel):
+        A = np.array([[1.0, 0.0], [0.9, 0.44]])
+        COV = A @ A.T  # strong correlation
+        PREC = np.linalg.inv(COV)
+
+        def log_prior(self, theta):
+            return jnp.zeros(())
+
+        def log_marginal(self, theta, data):
+            d = theta - jnp.asarray(self.y)
+            return -0.5 * d @ jnp.asarray(self.PREC) @ d
+
+        def log_posterior_u(self, u, data):
+            return self.log_marginal(u, data)
+
+    model = _CorrModel()
+    res = advi.sample(
+        model, None, key, num_samples=4000, num_steps=1200, full_rank=True
+    )
+    emp_cov = np.cov(np.asarray(res.u[0]).T)
+    np.testing.assert_allclose(emp_cov, model.COV, atol=0.12)
