@@ -139,6 +139,32 @@ def run_cpu_baseline(num_steps=1200, burn=400, walkers=16, seed=0):
     }
 
 
+def _run_with_retries(argv, attempts=3, cooldown=240):
+    """Run the measurement in a child process and retry on TPU-worker
+    crashes (the axon tunnel intermittently kills the worker mid-run; a dead
+    backend cannot be recovered in-process). Prints the child's final JSON
+    line on success."""
+    import subprocess
+
+    for attempt in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child"] + argv,
+            capture_output=True,
+            text=True,
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        sys.stderr.write(
+            f"bench attempt {attempt + 1}/{attempts} failed "
+            f"(rc={proc.returncode}):\n{proc.stderr[-2000:]}\n"
+        )
+        if attempt + 1 < attempts:
+            time.sleep(cooldown)
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     # NOTE: --platform handled before jax import below
@@ -147,7 +173,18 @@ def main():
     ap.add_argument("--samples", type=int, default=350)
     ap.add_argument("--warmup", type=int, default=250)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
+
+    if not args.child and not args.baseline:
+        argv = [
+            "--chains", str(args.chains),
+            "--samples", str(args.samples),
+            "--warmup", str(args.warmup),
+        ]
+        if args.verbose:
+            argv.append("--verbose")
+        sys.exit(_run_with_retries(argv))
 
     if args.baseline:
         # the CPU reference pipeline must run on CPU even when the TPU
