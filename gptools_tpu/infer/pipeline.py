@@ -42,9 +42,15 @@ def smc_then_nuts(
     num_particles: int = 1024,
     max_depth: int = 8,
     target_accept: float = 0.85,
+    whiten: bool = True,
     smc_kwargs: Optional[dict] = None,
 ) -> SampleResult:
-    """Run SMC, then NUTS chains initialized from the particle ensemble."""
+    """Run SMC, then NUTS chains initialized from the particle ensemble.
+
+    ``whiten=True`` runs NUTS in the SMC-covariance-whitened coordinates
+    (full preconditioner, shorter trees); otherwise the SMC variance is used
+    as a frozen diagonal mass matrix.
+    """
     k_smc, k_res, k_nuts = jax.random.split(key, 3)
     smc_res = _smc.sample(
         model, data, k_smc, num_particles=num_particles, **(smc_kwargs or {})
@@ -54,23 +60,51 @@ def smc_then_nuts(
     idx = jax.random.randint(k_res, (num_chains,), 0, particles.shape[0])
     u0 = particles[idx]
 
-    # SMC ensemble variance = excellent diagonal mass matrix; freeze it
-    var = jnp.var(particles, axis=0) + 1e-10
+    if whiten:
+        mu = jnp.mean(particles, axis=0)
+        P = particles.shape[1]
+        cov = jnp.cov(particles.T) + 1e-8 * jnp.eye(P, dtype=particles.dtype)
+        C = jnp.linalg.cholesky(cov)
 
-    def logp(u):
-        return model.log_posterior_u(u, data)
+        def logp(v):
+            return model.log_posterior_u(mu + C @ v, data)
 
-    res = _nuts.sample(
-        logp,
-        u0,
-        k_nuts,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        max_depth=max_depth,
-        target_accept=target_accept,
-        adapt_mass=False,
-        inv_mass0=var,
-    )
+        v0 = jax.jit(
+            jax.vmap(
+                lambda u: jax.scipy.linalg.solve_triangular(C, u - mu, lower=True)
+            )
+        )(u0)
+        res = _nuts.sample(
+            logp,
+            v0,
+            k_nuts,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            max_depth=max_depth,
+            target_accept=target_accept,
+            adapt_mass=False,
+            eps0=0.3,
+        )
+        res = res._replace(
+            u=jax.jit(lambda vs: mu + jnp.einsum("ij,csj->csi", C, vs))(res.u)
+        )
+    else:
+        var = jnp.var(particles, axis=0) + 1e-10
+
+        def logp(u):
+            return model.log_posterior_u(u, data)
+
+        res = _nuts.sample(
+            logp,
+            u0,
+            k_nuts,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            max_depth=max_depth,
+            target_accept=target_accept,
+            adapt_mass=False,
+            inv_mass0=var,
+        )
     thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(res.u)
     res = res._replace(thetas=thetas)
     res.diagnostics["smc_log_evidence"] = smc_res.diagnostics["log_evidence"]

@@ -108,3 +108,44 @@ def test_ess_finite_with_stuck_chains(rng):
     # stuck chain inflates between-chain variance -> ESS should be depressed
     ess_clean = np.asarray(ess_per_param(np.delete(chains, 2, axis=0)))
     assert (ess < ess_clean * 1.5).all()
+
+
+def test_checkpoint_resume_sampler_state(tmp_path, key):
+    """Deterministic mid-run resume: window -> checkpoint -> restore ->
+    continue equals an uninterrupted run (SURVEY.md section 5 checkpoint
+    requirement)."""
+    import jax.numpy as jnp
+
+    from gptools_tpu.infer import hmc
+
+    def logp(u):
+        return -0.5 * jnp.sum(u * u)
+
+    logp_and_grad = jax.value_and_grad(logp)
+
+    def transition(q, k, eps, inv_mass):
+        return hmc._hmc_transition(logp_and_grad, q, k, eps, inv_mass, 8)
+
+    qs = jax.random.normal(key, (6, 2))
+    da = hmc.da_init(jnp.asarray(0.2))
+    inv_mass = jnp.ones((2,))
+    k1, k2 = jax.random.split(key)
+
+    # uninterrupted: two windows
+    qs_a, da_a, _, _ = hmc.run_window(transition, qs, k1, 20, da, inv_mass)
+    qs_b, da_b, _, _ = hmc.run_window(transition, qs_a, k2, 20, da_a, inv_mass)
+
+    # interrupted: checkpoint between windows, restore, continue
+    state = {"qs": qs_a, "da": da_a._asdict()}
+    path = os.path.join(tmp_path, "resume")
+    save_state(path, state)
+    back = restore_state(path, template=state)
+    from gptools_tpu.infer.hmc import DualAveragingState
+
+    da_r = DualAveragingState(**back["da"])
+    qs_c, da_c, _, _ = hmc.run_window(transition, back["qs"], k2, 20, da_r, inv_mass)
+
+    np.testing.assert_allclose(np.asarray(qs_c), np.asarray(qs_b), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(da_c.log_eps), float(da_b.log_eps), rtol=1e-12
+    )

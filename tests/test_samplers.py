@@ -253,3 +253,39 @@ def test_advi_full_rank_recovers_correlation(key):
     )
     emp_cov = np.cov(np.asarray(res.u[0]).T)
     np.testing.assert_allclose(emp_cov, model.COV, atol=0.12)
+
+
+def test_smc_then_pipelines_quality(rng, key):
+    """Both warm-start pipelines must produce well-mixed chains (Rhat close
+    to 1) on a small GP posterior, and agree on moments."""
+    from gptools_tpu.infer.pipeline import smc_then_chees, smc_then_nuts
+    from gptools_tpu.models.dataset import DatasetBuilder
+    from gptools_tpu.models.gp import GPModel
+    from gptools_tpu.ops.kernels import SquaredExponentialKernel
+    from gptools_tpu.utils.diagnostics import split_rhat
+    from gptools_tpu.utils.priors import LogNormalJointPrior
+
+    X = np.linspace(0, 3, 15)
+    y = np.sin(1.5 * X) + 0.1 * rng.standard_normal(15)
+    b = DatasetBuilder(1)
+    b.add(X, y, err_y=0.1)
+    data = b.build()
+    model = GPModel(
+        SquaredExponentialKernel(
+            hyperprior=LogNormalJointPrior([0.0, -0.5], [0.75, 0.75])
+        )
+    )
+    r1 = smc_then_chees(
+        model, data, key, num_chains=64, num_warmup=100, num_samples=200,
+        num_particles=256,
+    )
+    r2 = smc_then_nuts(
+        model, data, key, num_chains=64, num_warmup=50, num_samples=200,
+        num_particles=256,
+    )
+    assert np.asarray(split_rhat(r1.thetas)).max() < 1.1
+    assert np.asarray(split_rhat(r2.thetas)).max() < 1.1
+    m1 = np.asarray(r1.thetas).reshape(-1, 2).mean(0)
+    m2 = np.asarray(r2.thetas).reshape(-1, 2).mean(0)
+    np.testing.assert_allclose(m1, m2, rtol=0.1)
+    assert "smc_log_evidence" in r1.diagnostics
