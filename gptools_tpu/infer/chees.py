@@ -195,6 +195,7 @@ def sample(
     tau0: Optional[float] = None,
     inv_mass0=None,
     max_steps: int = 1024,
+    chunk: int = 25,
 ) -> SampleResult:
     """Vectorized ChEES-HMC: warmup (eps + tau + optional mass pooled
     adaptation), then frozen sampling. ``u0``: (C, P) initial positions."""
@@ -223,37 +224,66 @@ def sample(
         key=key,
     )
 
-    def warm_scan(state, _):
-        state, (q, lp, stats) = chees_step(
-            logp_and_grad,
-            state,
-            inv_mass,
-            target_accept=target_accept,
-            adapt=True,
-            max_steps=max_steps,
-        )
-        return state, stats["diverged"]
+    # Device calls are CHUNKED: one jitted scan of `chunk` iterations,
+    # executed repeatedly from the host. Long-running single device programs
+    # get killed by remote-TPU tunnels (observed with the axon plugin), and
+    # chunking also reuses one compiled program for any warmup/sample count.
+    chunk = max(1, int(chunk))
 
-    state, div_w = jax.lax.scan(warm_scan, state, None, length=num_warmup)
+    @jax.jit
+    def warm_chunk(state):
+        def body(s, _):
+            s, (q, lp, stats) = chees_step(
+                logp_and_grad,
+                s,
+                inv_mass,
+                target_accept=target_accept,
+                adapt=True,
+                max_steps=max_steps,
+            )
+            return s, stats["diverged"]
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    @jax.jit
+    def samp_chunk(state):
+        def body(s, _):
+            s, (q, lp, stats) = chees_step(
+                logp_and_grad,
+                s,
+                inv_mass,
+                target_accept=target_accept,
+                adapt=False,
+                max_steps=max_steps,
+            )
+            return s, (q, lp, stats)
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    div_w = jnp.zeros((), jnp.int32)
+    for _ in range(-(-num_warmup // chunk)):
+        state, div = warm_chunk(state)
+        div_w = div_w + jnp.sum(div).astype(jnp.int32)
 
     # freeze: use averaged step size
     eps_final = jnp.exp(state.da.log_eps_avg)
     state = state._replace(da=state.da._replace(log_eps=jnp.log(eps_final)))
 
-    def samp_scan(state, _):
-        state, (q, lp, stats) = chees_step(
-            logp_and_grad,
-            state,
-            inv_mass,
-            target_accept=target_accept,
-            adapt=False,
-            max_steps=max_steps,
-        )
-        return state, (q, lp, stats)
+    us_parts, lps_parts, acc_parts = [], [], []
+    divergences = jnp.zeros((), jnp.int32)
+    n_leap = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
+    n_chunks = -(-num_samples // chunk)
+    for _ in range(n_chunks):
+        state, (us_c, lps_c, stats_c) = samp_chunk(state)
+        us_parts.append(us_c)
+        lps_parts.append(lps_c)
+        acc_parts.append(stats_c["accept_prob"])
+        divergences = divergences + jnp.sum(stats_c["diverged"]).astype(jnp.int32)
+        n_leap = n_leap + jnp.sum(stats_c["num_leapfrog"]).astype(n_leap.dtype)
 
-    state, (us, lps, stats) = jax.lax.scan(
-        samp_scan, state, None, length=num_samples
-    )
+    us = jnp.concatenate(us_parts, axis=0)[:num_samples]
+    lps = jnp.concatenate(lps_parts, axis=0)[:num_samples]
+    accs = jnp.concatenate(acc_parts, axis=0)[:num_samples]
 
     u = jnp.swapaxes(us, 0, 1)
     log_prob = jnp.swapaxes(lps, 0, 1)
@@ -261,10 +291,10 @@ def sample(
         "step_size": eps_final,
         "trajectory_time": jnp.exp(state.log_tau),
         "inv_mass": inv_mass,
-        "accept_prob": jnp.swapaxes(stats["accept_prob"], 0, 1),
-        "divergences": jnp.sum(stats["diverged"]).astype(jnp.int32),
-        "divergences_warmup": jnp.sum(div_w).astype(jnp.int32),
-        "num_leapfrog_total": jnp.sum(stats["num_leapfrog"]),
-        "mean_accept": jnp.mean(stats["accept_prob"]),
+        "accept_prob": jnp.swapaxes(accs, 0, 1),
+        "divergences": divergences,
+        "divergences_warmup": div_w,
+        "num_leapfrog_total": n_leap,
+        "mean_accept": jnp.mean(accs),
     }
     return SampleResult(u=u, thetas=None, log_prob=log_prob, diagnostics=diagnostics)

@@ -32,6 +32,7 @@ __all__ = [
     "sample",
     "warmup_schedule",
     "run_window",
+    "make_window_runner",
 ]
 
 
@@ -262,6 +263,84 @@ def run_window(
     return qs, da, welford, outs
 
 
+def make_window_runner(
+    transition: Callable,
+    target_accept: float = 0.8,
+    chunk: int = 25,
+):
+    """Chunked, compile-cached window runner.
+
+    Executes windows of any length as repeated short jitted scans of
+    ``chunk`` iterations (plus one remainder program per distinct remainder
+    length). Two reasons (both learned on real hardware, see BASELINE.md):
+    long single device programs get killed by remote-TPU tunnels, and
+    chunking means EVERY window of every length reuses at most a handful of
+    compiled programs instead of one per window length.
+    """
+    cache = {}
+
+    def get_chunk_fn(length: int, adapt_eps: bool, collect_welford: bool):
+        key_ = (length, adapt_eps, collect_welford)
+        if key_ not in cache:
+
+            def chunk_fn(qs, key, da, welford, inv_mass):
+                def step(carry, _):
+                    qs, da, welford, key = carry
+                    key, sub = jax.random.split(key)
+                    ckeys = jax.random.split(sub, qs.shape[0])
+                    eps = jnp.exp(da.log_eps if adapt_eps else da.log_eps_avg)
+                    q_new, logp, stats = jax.vmap(
+                        lambda q, k: transition(q, k, eps, inv_mass)
+                    )(qs, ckeys)
+                    pooled_accept = jnp.mean(stats["accept_prob"])
+                    if adapt_eps:
+                        da_new = da_update(
+                            da, pooled_accept, target=target_accept
+                        )
+                    else:
+                        da_new = da
+                    if collect_welford:
+                        welford = welford_update_batch(welford, q_new)
+                    out = {
+                        "u": q_new,
+                        "log_prob": logp,
+                        "accept_prob": stats["accept_prob"],
+                        "diverged": stats["diverged"],
+                        "num_leapfrog": stats["num_leapfrog"],
+                        "eps": eps,
+                    }
+                    return (q_new, da_new, welford, key), out
+
+                return jax.lax.scan(
+                    step, (qs, da, welford, key), None, length=length
+                )
+
+            cache[key_] = jax.jit(chunk_fn)
+        return cache[key_]
+
+    def run(qs, key, length, da, inv_mass, adapt_eps, collect_welford, welford):
+        if welford is None:
+            welford = welford_init(qs.shape[1], qs.dtype)
+        outs_parts = []
+        remaining = length
+        while remaining > 0:
+            n = min(chunk, remaining)
+            key, sub = jax.random.split(key)
+            fn = get_chunk_fn(n, adapt_eps, collect_welford)
+            (qs, da, welford, _), outs = fn(qs, sub, da, welford, inv_mass)
+            outs_parts.append(outs)
+            remaining -= n
+        if len(outs_parts) > 1:
+            outs_all = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *outs_parts
+            )
+        else:
+            outs_all = outs_parts[0]
+        return qs, da, welford, outs_all
+
+    return run
+
+
 def sample(
     logp: Callable,
     u0: jax.Array,
@@ -303,20 +382,21 @@ def sample(
 
     key, k0 = jax.random.split(key)
 
+    runner = make_window_runner(transition, target_accept=target_accept)
+
     schedule = warmup_schedule(num_warmup)
     div_warmup = jnp.zeros((), jnp.int32)
     for phase, length in schedule:
         key, sub = jax.random.split(key)
-        qs, da, welford, outs = run_window(
-            transition,
+        qs, da, welford, outs = runner(
             qs,
             sub,
             length,
             da,
             inv_mass,
-            adapt_eps=True,
-            collect_welford=(phase == "slow") and adapt_mass,
-            target_accept=target_accept,
+            True,
+            (phase == "slow") and adapt_mass,
+            welford,
         )
         div_warmup = div_warmup + jnp.sum(outs["diverged"]).astype(jnp.int32)
         if metrics is not None:
@@ -331,16 +411,8 @@ def sample(
     eps_final = jnp.exp(da.log_eps_avg)
     da_sampling = da._replace(log_eps=jnp.log(eps_final))
     key, sub = jax.random.split(key)
-    qs, _, _, outs = run_window(
-        transition,
-        qs,
-        sub,
-        num_samples,
-        da_sampling,
-        inv_mass,
-        adapt_eps=False,
-        collect_welford=False,
-        target_accept=target_accept,
+    qs, _, _, outs = runner(
+        qs, sub, num_samples, da_sampling, inv_mass, False, False, None
     )
 
     if metrics is not None:
