@@ -154,6 +154,8 @@ def _run_with_retries(argv, attempts=3, cooldown=240):
         )
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
+            if proc.stderr:
+                sys.stderr.write(proc.stderr)
             print(lines[-1])
             return 0
         sys.stderr.write(
