@@ -411,13 +411,17 @@ class GPModel:
         num_samp: int = 1,
         method: str = "cholesky",
         num_eig: Optional[int] = None,
+        modify_sign: bool = False,
         noise: bool = False,
         output_transform: Optional[jax.Array] = None,
         state: Optional[evidence.CholState] = None,
     ) -> jax.Array:
         """Draw joint posterior function samples
         (``gptools/core.py :: GaussianProcess.draw_sample``); returns
-        (num_points, num_samp) like the reference."""
+        (num_points, num_samp) like the reference. ``modify_sign`` fixes the
+        eigenvector sign gauge (largest-|component| positive) so draws are
+        comparable across hyperparameter samples (reference ``modify_sign``).
+        """
         pred = self.predict(
             theta_full,
             data,
@@ -442,6 +446,12 @@ class GPModel:
                 w = w[..., -k:]
                 V = V[..., -k:]
                 z = z[: w.shape[-1], :]
+            if modify_sign:
+                # gauge fix: flip each eigenvector so its largest-magnitude
+                # component is positive (reference modify_sign behavior)
+                idx = jnp.argmax(jnp.abs(V), axis=0)
+                signs = jnp.sign(V[idx, jnp.arange(V.shape[1])])
+                V = V * jnp.where(signs == 0, 1.0, signs)[None, :]
             w = jnp.clip(w, 0.0)
             draws = mean[:, None] + V @ (jnp.sqrt(w)[:, None] * z)
         else:

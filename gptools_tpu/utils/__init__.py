@@ -7,3 +7,15 @@ combinatorial machinery (``incomplete_bell_poly``, ``generate_set_partitions``,
 hand-assembled high-order kernel derivatives, which this rebuild obtains from
 JAX autodiff (see `gptools_tpu.ops.derivs`).
 """
+
+
+def unique_rows(arr):
+    """Unique rows of a 2-D array, preserving first-occurrence order
+    (``gptools/utils.py :: unique_rows``). Host-side numpy helper."""
+    import numpy as _np
+
+    a = _np.asarray(arr)
+    if a.ndim != 2:
+        raise ValueError("unique_rows expects a 2-D array")
+    _, idx = _np.unique(a, axis=0, return_index=True)
+    return a[_np.sort(idx)]

@@ -156,3 +156,19 @@ def test_reference_attribute_views(rng):
     np.testing.assert_allclose(np.asarray(gp.theta), [1.2, 0.6])
     assert gp.param_names == ("k.sigma_f", "k.l_1")
     assert gp.hyperprior.dim == 2
+
+
+def test_draw_sample_modify_sign_and_unique_rows(rng, key):
+    from gptools_tpu.utils import unique_rows
+
+    gp, X, y = _gp(rng)
+    gp.update_hyperparameters(jnp.array([1.0, 0.5]))
+    d = gp.model.draw_sample(
+        key, gp.theta, gp.data, X[:8], num_samp=3, method="eig",
+        modify_sign=True, state=gp.compute_K_L_alpha_ll(),
+    )
+    assert d.shape == (8, 3) and np.isfinite(np.asarray(d)).all()
+
+    a = np.array([[1, 2], [3, 4], [1, 2], [5, 6]])
+    u = unique_rows(a)
+    np.testing.assert_array_equal(u, [[1, 2], [3, 4], [5, 6]])
