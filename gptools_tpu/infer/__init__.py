@@ -47,9 +47,11 @@ def run_sampler(
     """Dispatch to a posterior sampler over GP hyperparameters.
 
     Replaces ``gptools/core.py :: sample_hyperparameter_posterior``'s
-    ``sampler_type`` switch (emcee Ensemble/PT) with
-    ``sampler in {'nuts', 'hmc', 'smc', 'advi'}``. Returns a `SampleResult`
-    whose ``thetas`` are (chains, samples, P) constrained hyperparameters.
+    ``sampler_type`` switch (emcee Ensemble/PT) with ``sampler in
+    {'nuts', 'hmc', 'chees', 'smc', 'advi', 'smc+nuts', 'smc+chees'}``
+    ('smc+chees' is the fastest on TPU — SMC warm start + whitened
+    ChEES-HMC). Returns a `SampleResult` whose ``thetas`` are
+    (chains, samples, P) constrained hyperparameters.
     """
     logp = model_logp(model, data)
     dim = model.num_free_params

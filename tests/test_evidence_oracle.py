@@ -196,3 +196,22 @@ def test_draw_sample_moments(rng, key):
     emp_cov = np.cov(np.asarray(draws))
     np.testing.assert_allclose(emp_mean, np.asarray(pred.mean), atol=0.02)
     np.testing.assert_allclose(emp_cov, np.asarray(pred.cov), atol=0.02)
+
+
+def test_f32_evidence_close_to_f64(rng):
+    """TPU numerics guard (SURVEY.md section 7.1 note): the f32 evidence with
+    relative jitter must track the f64 value on the flagship-style problem."""
+    data = _se_dataset(rng)
+    model = GPModel(SquaredExponentialKernel())  # default diag_factor
+    theta64 = jnp.array([1.3, 0.7], jnp.float64)
+    ll64 = float(model.log_marginal(theta64, data))
+    data32 = data.astype(jnp.float32)
+    ll32 = float(model.log_marginal(theta64.astype(jnp.float32), data32))
+    assert abs(ll32 - ll64) / abs(ll64) < 5e-3, (ll32, ll64)
+    g64 = np.asarray(jax.grad(lambda t: model.log_marginal(t, data))(theta64))
+    g32 = np.asarray(
+        jax.grad(lambda t: model.log_marginal(t, data32))(
+            theta64.astype(jnp.float32)
+        )
+    )
+    np.testing.assert_allclose(g32, g64, rtol=5e-2)
