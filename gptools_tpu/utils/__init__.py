@@ -3,10 +3,18 @@
 TPU-native counterpart of the reference's ``gptools/utils.py`` (priors,
 combinatorics, sampler summaries — see SURVEY.md section 2.1). The
 combinatorial machinery (``incomplete_bell_poly``, ``generate_set_partitions``,
-``fixed_poch``) is intentionally absent: its only purpose in the reference was
-hand-assembled high-order kernel derivatives, which this rebuild obtains from
-JAX autodiff (see `gptools_tpu.ops.derivs`).
+``fixed_poch``) lives in `gptools_tpu.utils.combinatorics` for API parity and
+for cross-validating the autodiff derivative towers — the covariance hot path
+never calls it, because this rebuild obtains kernel derivatives from JAX
+autodiff (see `gptools_tpu.ops.derivs`).
 """
+
+from .combinatorics import (  # noqa: F401
+    fixed_poch,
+    generate_set_partition_strings,
+    generate_set_partitions,
+    incomplete_bell_poly,
+)
 
 
 def unique_rows(arr):
