@@ -17,7 +17,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from gptools_tpu.infer import advi, chees, hmc, map_fit, nuts, pipeline, smc
+from gptools_tpu.infer import advi, chees, hmc, map_fit, nuts, pipeline, pt, smc
 from gptools_tpu.infer.hmc import SampleResult
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "advi",
     "map_fit",
     "pipeline",
+    "pt",
 ]
 
 
@@ -48,7 +49,9 @@ def run_sampler(
 
     Replaces ``gptools/core.py :: sample_hyperparameter_posterior``'s
     ``sampler_type`` switch (emcee Ensemble/PT) with ``sampler in
-    {'nuts', 'hmc', 'chees', 'smc', 'advi', 'smc+nuts', 'smc+chees'}``
+    {'nuts', 'hmc', 'chees', 'pt', 'smc', 'advi', 'smc+nuts', 'smc+chees'}``
+    ('pt' is true replica-exchange HMC over a temperature ladder, the
+    PTSampler counterpart — see `gptools_tpu.infer.pt`)
     ('smc+chees' is the fastest on TPU — SMC warm start + whitened
     ChEES-HMC). Returns a `SampleResult` whose ``thetas`` are
     (chains, samples, P) constrained hyperparameters.
@@ -87,6 +90,17 @@ def run_sampler(
             num_chains=num_chains,
             num_samples=num_samples,
             num_warmup=num_warmup,
+            **kwargs,
+        )
+    if sampler in ("pt", "tempered"):
+        return pt.sample(
+            model,
+            data,
+            k_run,
+            num_chains=num_chains,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            init=init,
             **kwargs,
         )
     if sampler == "smc":

@@ -678,9 +678,9 @@ class GaussianProcess:
         from gptools_tpu.infer import run_sampler
 
         if sampler_type is not None:  # reference spelling
-            sampler = {"ensemble": "nuts", "pt": "smc"}.get(
-                sampler_type, sampler_type
-            )
+            sampler = {"ensemble": "nuts"}.get(sampler_type, sampler_type)
+        if "ntemps" in kwargs:  # reference PTSampler spelling
+            kwargs["num_temps"] = kwargs.pop("ntemps")
         if key is None:
             key = jax.random.PRNGKey(0)
         result = run_sampler(
