@@ -563,6 +563,21 @@ class GaussianProcess:
         )
 
     @property
+    def param_bounds(self):
+        """Concatenated per-component bounds (reference ``param_bounds``
+        ``CombinedBounds`` view). Host-side metadata only: the jitted paths
+        use bijectors, not bound clipping."""
+        return self.model.param_bounds
+
+    @property
+    def free_param_bounds(self):
+        """Bounds of the free parameters (reference ``free_param_bounds``
+        ``MaskedBounds`` view)."""
+        from gptools_tpu.utils.bounds import MaskedBounds
+
+        return MaskedBounds(list(self.model.param_bounds), self.model.free_idx)
+
+    @property
     def hyperprior(self):
         return self.model.hyperprior
 

@@ -9,6 +9,7 @@ never calls it, because this rebuild obtains kernel derivatives from JAX
 autodiff (see `gptools_tpu.ops.derivs`).
 """
 
+from .bounds import CombinedBounds, MaskedBounds  # noqa: F401
 from .combinatorics import (  # noqa: F401
     fixed_poch,
     generate_set_partition_strings,

@@ -149,3 +149,39 @@ def test_checkpoint_resume_sampler_state(tmp_path, key):
     np.testing.assert_allclose(
         float(da_c.log_eps), float(da_b.log_eps), rtol=1e-12
     )
+
+
+def test_combined_and_masked_bounds_views():
+    """Reference list-view semantics (``gptools/utils.py :: CombinedBounds,
+    MaskedBounds``): reads concatenate/subset, writes mutate the owners."""
+    from gptools_tpu.utils import CombinedBounds, MaskedBounds
+
+    a = [(0.0, 1.0), (1.0, 2.0)]
+    b = [(5.0, 6.0)]
+    v = CombinedBounds(a, b)
+    assert len(v) == 3
+    assert v[2] == (5.0, 6.0) and v[-1] == (5.0, 6.0)
+    assert v[1:] == [(1.0, 2.0), (5.0, 6.0)]
+    v[2] = (7.0, 8.0)
+    assert b[0] == (7.0, 8.0)  # write-through
+    v[0:2] = [(9.0, 9.5), (9.5, 10.0)]
+    assert a == [(9.0, 9.5), (9.5, 10.0)]
+    assert list(v) == [(9.0, 9.5), (9.5, 10.0), (7.0, 8.0)]
+    import pytest
+
+    with pytest.raises(IndexError):
+        v[3]
+
+    base = [10, 20, 30, 40]
+    m = MaskedBounds(base, [0, 2])
+    assert list(m) == [10, 30] and m[-1] == 30
+    m[1] = 99
+    assert base == [10, 20, 99, 40]  # masked slot 1 -> base index 2
+    with pytest.raises(IndexError):
+        m[2]
+
+
+def test_matern_kernel_arb_alias():
+    from gptools_tpu.ops.kernels import MaternGeneralKernel, MaternKernelArb
+
+    assert MaternKernelArb is MaternGeneralKernel
