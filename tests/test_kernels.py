@@ -250,3 +250,20 @@ def test_matern_general_free_nu():
     v1 = float(kg.smooth_scalar(x1, x2, t52))
     v2 = float(M52.smooth_scalar(x1, x2, jnp.array([sf, l])))
     assert np.isclose(v1, v2, rtol=1e-7)
+
+
+def test_chain_rule_kernel_matches_se():
+    """ChainRuleKernel(outer, inner) == SE when outer=exp, inner=-r^2/2l^2 —
+    values AND autodiff derivative blocks (the reference assembled these with
+    Faa di Bruno; here the chain rule is free)."""
+    outer = lambda u, th: th[0] ** 2 * jnp.exp(u)
+    inner = lambda x1, x2, th: -jnp.sum((x1 - x2) ** 2) / (2 * th[1] ** 2)
+    kc = K.ChainRuleKernel(outer, inner, num_dim=1, param_names=("sf", "l"))
+    kse = K.SquaredExponentialKernel()
+    theta = jnp.array([1.3, 0.7])
+    x1 = jnp.array([0.2])
+    x2 = jnp.array([0.9])
+    for ni, nj in [((0,), (0,)), ((1,), (0,)), ((1,), (1,)), ((2,), (1,))]:
+        got = float(kc.block_fn(ni, nj)(x1, x2, theta))
+        want = float(kse.block_fn(ni, nj)(x1, x2, theta))
+        assert np.isclose(got, want, rtol=1e-6), (ni, nj)
