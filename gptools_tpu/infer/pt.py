@@ -53,7 +53,40 @@ from gptools_tpu.infer.hmc import (
     welford_variance,
 )
 
-__all__ = ["sample", "geometric_ladder"]
+__all__ = ["sample", "geometric_ladder", "model_splits"]
+
+
+def model_splits(model, data):
+    """Split the model's unconstrained-space density into
+    ``(log_like_fn, log_prior_fn)`` — likelihood vs prior-plus-log-Jacobian —
+    the decomposition likelihood tempering needs (shared with
+    `gptools_tpu.parallel.mesh.pt_step_sharded`)."""
+    import jax.numpy as _jnp
+
+    dtype = _jnp.asarray(model.initial_params).dtype
+
+    def log_like_fn(u):
+        theta = model.theta_of_u(u)
+        return model.log_marginal(theta, data)
+
+    u0_full = model.bijector.inverse(
+        _jnp.asarray(model.initial_params, dtype=dtype)
+    )
+    free_idx = (
+        _jnp.asarray(model.free_idx)
+        if model.num_free_params != model.num_params
+        else None
+    )
+
+    def log_prior_fn(u_free):
+        if free_idx is None:
+            u_full = u_free
+        else:
+            u_full = u0_full.astype(u_free.dtype).at[free_idx].set(u_free)
+        theta = model.bijector.forward(u_full)
+        return model.log_prior(theta) + model.bijector.log_det_jac(u_full)
+
+    return log_like_fn, log_prior_fn
 
 
 def geometric_ladder(num_temps: int, beta_min: float = 0.1, dtype=jnp.float32):
@@ -239,26 +272,7 @@ def sample(
     T = betas.shape[0]
     P = model.num_free_params
 
-    def log_like_fn(u):
-        theta = model.theta_of_u(u)
-        return model.log_marginal(theta, data)
-
-    u0_full = model.bijector.inverse(
-        jnp.asarray(model.initial_params, dtype=dtype)
-    )
-    free_idx = (
-        jnp.asarray(model.free_idx)
-        if model.num_free_params != model.num_params
-        else None
-    )
-
-    def log_prior_fn(u_free):
-        if free_idx is None:
-            u_full = u_free
-        else:
-            u_full = u0_full.astype(u_free.dtype).at[free_idx].set(u_free)
-        theta = model.bijector.forward(u_full)
-        return model.log_prior(theta) + model.bijector.log_det_jac(u_full)
+    log_like_fn, log_prior_fn = model_splits(model, data)
 
     key, k_init = jax.random.split(
         jax.random.PRNGKey(key) if isinstance(key, int) else key

@@ -32,6 +32,7 @@ __all__ = [
     "shard_chains",
     "sharded_sample",
     "sharded_smc",
+    "pt_step_sharded",
 ]
 
 CHAIN_AXIS = "chains"
@@ -141,3 +142,80 @@ def training_step_sharded(model, data, mesh: Mesh, num_chains: int):
     da0 = _hmc.da_init(jnp.asarray(0.1, u0.dtype))
     inv_mass0 = jnp.ones((nf,), u0.dtype)
     return step_jit, (u0, da0, inv_mass0)
+
+
+def pt_step_sharded(
+    model,
+    data,
+    mesh: Mesh,
+    num_temps: int,
+    num_chains: int,
+    num_steps: int = 8,
+    beta_min: float = 0.1,
+):
+    """One jitted parallel-tempering sweep sharded over a 2-D mesh — the
+    "tempering ladder as a mesh axis" design (SURVEY.md section 2.3 PT row).
+
+    State is (T, C, P) with T over ``mesh.axis_names[0]`` and C over
+    ``mesh.axis_names[1]``. The HMC sweep is embarrassingly parallel over
+    both axes; per-rung step-size pooling all-reduces over the chains axis
+    only; and the replica-exchange ``jnp.roll`` over the temperature axis
+    lowers to nearest-neighbor ``ppermute`` traffic over ICI.
+
+    Returns ``(step_fn, init_state)`` where
+    ``step_fn(u, key, eps, inv_mass, step_idx) -> (u', ll, swap_frac, accept)``.
+    """
+    from gptools_tpu.infer import hmc as _hmc
+    from gptools_tpu.infer import pt as _pt
+
+    t_axis, c_axis = mesh.axis_names[0], mesh.axis_names[1]
+    sh_state = NamedSharding(mesh, P(t_axis, c_axis))     # (T, C, P)
+    sh_tc = NamedSharding(mesh, P(t_axis, c_axis))        # (T, C)
+    sh_t = NamedSharding(mesh, P(t_axis))                 # (T,) / (T, P)
+    sh_rep = NamedSharding(mesh, P())
+
+    dtype = jnp.asarray(model.initial_params).dtype
+    betas = _pt.geometric_ladder(num_temps, beta_min, dtype)
+    log_like_fn, log_prior_fn = _pt.model_splits(model, data)
+
+    def rung_logp_and_grad(beta):
+        def f(q):
+            lp = log_prior_fn(q)
+            ll = jnp.where(jnp.isfinite(lp), log_like_fn(q), 0.0)
+            return beta * ll + lp
+
+        return jax.value_and_grad(f)
+
+    def sweep(u, key, eps, inv_mass, step_idx):
+        k_hmc, k_swap = jax.random.split(key)
+        T, C, _ = u.shape
+
+        def rung(q_rung, keys_rung, eps_t, inv_mass_t, beta_t):
+            lg = rung_logp_and_grad(beta_t)
+            return jax.vmap(
+                lambda q, k: _hmc._hmc_transition(
+                    lg, q, k, eps_t, inv_mass_t, num_steps
+                )
+            )(q_rung, keys_rung)
+
+        keys = jax.random.split(k_hmc, T * C).reshape(T, C, -1)
+        u_new, logp_beta, stats = jax.vmap(rung)(u, keys, eps, inv_mass, betas)
+        lp = jax.vmap(jax.vmap(log_prior_fn))(u_new)
+        ll = (logp_beta - lp) / betas[:, None]
+        (u_new, _), ll, swap_frac = _pt._swap_step(
+            [u_new, lp], ll, betas, k_swap, step_idx % 2
+        )
+        u_new = jax.lax.with_sharding_constraint(u_new, sh_state)
+        return u_new, ll, swap_frac, stats["accept_prob"]
+
+    step_jit = jax.jit(
+        sweep,
+        in_shardings=(sh_state, sh_rep, sh_t, sh_t, sh_rep),
+        out_shardings=(sh_state, sh_tc, None, sh_tc),
+    )
+
+    nf = model.num_free_params
+    u0 = jnp.zeros((num_temps, num_chains, nf), dtype)
+    eps0 = jnp.full((num_temps,), 0.1, dtype)
+    inv_mass0 = jnp.ones((num_temps, nf), dtype)
+    return step_jit, (u0, eps0, inv_mass0)

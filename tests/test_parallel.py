@@ -92,3 +92,41 @@ def test_pod_mesh_and_2d_sharding(key):
     # hierarchical mean over the sharded chains axis
     m = jax.jit(lambda v: jnp.mean(v, axis=0))(x)
     np.testing.assert_allclose(np.asarray(m), np.arange(32.0).reshape(16, 2).mean(0))
+
+
+def test_pt_step_sharded_2d_mesh(key):
+    """Parallel tempering over a 2-D (temps x chains) mesh: the replica
+    ladder is a sharded axis (SURVEY.md section 2.3 PT row) and the swap
+    roll induces cross-device permutation collectives."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gptools_tpu.parallel.mesh import pt_step_sharded
+    from tests.test_samplers import _ToyModel
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("temps", "chains"))
+    model = _ToyModel()
+    step_jit, (u0, eps0, inv_mass0) = pt_step_sharded(
+        model, None, mesh, num_temps=4, num_chains=6, num_steps=4
+    )
+    sh_state = NamedSharding(mesh, P("temps", "chains"))
+    sh_t = NamedSharding(mesh, P("temps"))
+    u = jax.device_put(0.1 * np.ones((4, 6, 2)), sh_state)
+    eps = jax.device_put(eps0, sh_t)
+    inv_mass = jax.device_put(inv_mass0, sh_t)
+
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        u, ll, swap_frac, accept = step_jit(u, sub, eps, inv_mass, i)
+    assert u.shape == (4, 6, 2)
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(ll)).all()
+    assert swap_frac.shape == (3,)
+    assert float(np.asarray(accept).mean()) > 0.1
+    # output keeps the 2-D sharding
+    assert u.sharding.is_equivalent_to(sh_state, 3)
+    # compiled module must move data between devices (swap roll / pooling)
+    txt = step_jit.lower(u, key, eps, inv_mass, 0).compile().as_text()
+    assert any(
+        tok in txt for tok in ("collective-permute", "all-reduce", "all_reduce")
+    ), "no cross-device traffic found in PT sweep"
