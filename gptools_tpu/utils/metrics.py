@@ -57,15 +57,21 @@ class MetricsLogger:
     def log_window(self, phase: str, length: int, outs: dict):
         """Summarize one adaptation/sampling window from the sampler's
         per-iteration outputs (see `gptools_tpu.infer.hmc.run_window`)."""
-        return self.log(
-            "window",
+        fields = dict(
             phase=phase,
             length=length,
-            step_size=float(np.asarray(outs["eps"])[-1]),
+            # eps is scalar per iteration for HMC/NUTS, per-rung for PT
+            step_size=np.asarray(outs["eps"])[-1],
             mean_accept=float(np.mean(np.asarray(outs["accept_prob"]))),
             divergences=int(np.sum(np.asarray(outs["diverged"]))),
-            leapfrogs=int(np.sum(np.asarray(outs["num_leapfrog"]))),
         )
+        if "num_leapfrog" in outs:
+            fields["leapfrogs"] = int(np.sum(np.asarray(outs["num_leapfrog"])))
+        if "swap_frac" in outs:  # parallel tempering windows
+            fields["mean_swap_frac"] = float(
+                np.mean(np.asarray(outs["swap_frac"]))
+            )
+        return self.log("window", **fields)
 
     def finalize(self, samples, wall_time: Optional[float] = None):
         """Compute and log end-of-run ESS / R-hat (on device)."""

@@ -121,3 +121,20 @@ def test_pt_mixes_between_far_modes(key):
     assert float((np.abs(np.abs(x) - 3.0) < 1.0).mean()) > 0.9
     # swaps must actually be happening for this to work
     assert (np.asarray(res.diagnostics["swap_accept"]) > 0.05).all()
+
+
+def test_pt_metrics_logging(key, tmp_path):
+    """metrics= hook: PT windows stream step sizes and swap fractions."""
+    from gptools_tpu.utils.metrics import MetricsLogger
+
+    model = _ToyModel()
+    log = MetricsLogger(path=str(tmp_path / "pt.jsonl"), run_name="pt-test")
+    pt.sample(
+        model, None, key,
+        num_chains=4, num_temps=3, num_warmup=30, num_samples=30,
+        num_steps=6, metrics=log,
+    )
+    windows = [r for r in log.records if r["event"] == "window"]
+    assert windows and all("mean_swap_frac" in w for w in windows)
+    assert any(w["phase"] == "pt-sampling" for w in windows)
+    assert (tmp_path / "pt.jsonl").exists()
