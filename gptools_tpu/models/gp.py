@@ -683,19 +683,26 @@ class GaussianProcess:
         num_chains: int = 8,
         sampler: str = "nuts",
         sampler_type: Optional[str] = None,
+        thin: int = 1,
         key=None,
         **kwargs,
     ):
         """Sample the hyperparameter posterior
         (``gptools/core.py :: sample_hyperparameter_posterior``), replacing
         emcee's ensemble walkers with vectorized NUTS/HMC chains or SMC
-        (`gptools_tpu.infer`)."""
+        (`gptools_tpu.infer`). Reference spellings accepted: ``sampler_type``
+        ('ensemble'/'pt'), ``nwalkers`` (-> num_chains), ``ntemps``
+        (-> num_temps), ``thin``; ``num_proc`` is ignored (parallelism is
+        the chains axis, not worker processes)."""
         from gptools_tpu.infer import run_sampler
 
         if sampler_type is not None:  # reference spelling
             sampler = {"ensemble": "nuts"}.get(sampler_type, sampler_type)
         if "ntemps" in kwargs:  # reference PTSampler spelling
             kwargs["num_temps"] = kwargs.pop("ntemps")
+        if "nwalkers" in kwargs:  # reference ensemble spelling
+            num_chains = kwargs.pop("nwalkers")
+        kwargs.pop("num_proc", None)  # no process pools here
         if key is None:
             key = jax.random.PRNGKey(0)
         result = run_sampler(
@@ -708,6 +715,16 @@ class GaussianProcess:
             num_warmup=burn,
             **kwargs,
         )
+        if thin > 1:
+            result = result._replace(
+                u=result.u[:, ::thin],
+                thetas=(
+                    result.thetas[:, ::thin]
+                    if result.thetas is not None
+                    else None
+                ),
+                log_prob=result.log_prob[:, ::thin],
+            )
         self.sample_result = result
         return result
 

@@ -172,3 +172,16 @@ def test_draw_sample_modify_sign_and_unique_rows(rng, key):
     a = np.array([[1, 2], [3, 4], [1, 2], [5, 6]])
     u = unique_rows(a)
     np.testing.assert_array_equal(u, [[1, 2], [3, 4], [5, 6]])
+
+
+def test_sampler_reference_spellings(rng):
+    """Reference kwargs: nwalkers -> num_chains, thin subsamples, num_proc
+    ignored (``gptools/core.py :: sample_hyperparameter_posterior``)."""
+    gp, _, _ = _gp(rng)
+    res = gp.sample_hyperparameter_posterior(
+        nsamp=40, burn=40, sampler="hmc", nwalkers=4, thin=4, num_proc=8,
+        num_steps=8,
+    )
+    assert res.u.shape == (4, 10, 2)
+    assert res.thetas.shape == (4, 10, 2)
+    assert res.log_prob.shape == (4, 10)
