@@ -138,3 +138,53 @@ def test_pt_metrics_logging(key, tmp_path):
     assert windows and all("mean_swap_frac" in w for w in windows)
     assert any(w["phase"] == "pt-sampling" for w in windows)
     assert (tmp_path / "pt.jsonl").exists()
+
+
+def test_pt_checkpoint_resume(tmp_path, key):
+    """PT carry is an orbax-checkpointable pytree: save mid-run, restore,
+    continue == uninterrupted (SURVEY.md section 5 checkpoint requirement)."""
+    import os
+
+    from gptools_tpu.infer.hmc import da_init, WelfordState
+    from gptools_tpu.infer.pt import _PTCarry, _make_chunk_runner, geometric_ladder, model_splits
+    from gptools_tpu.utils.checkpoint import restore_state, save_state
+
+    model = _ToyModel()
+    log_like, log_prior = model_splits(model, None)
+    T, C, P = 3, 4, 2
+    betas = geometric_ladder(T, 0.1, jnp.float64)
+    runner = _make_chunk_runner(log_like, log_prior, betas, 6, 0.8, 0.2)
+
+    def fresh(key_):
+        return _PTCarry(
+            u=0.1 * jnp.ones((T, C, P), jnp.float64),
+            da=da_init(jnp.full((T,), 0.1, jnp.float64)),
+            welford=WelfordState(
+                jnp.zeros((T,), jnp.float64),
+                jnp.zeros((T, P), jnp.float64),
+                jnp.zeros((T, P), jnp.float64),
+            ),
+            inv_mass=jnp.ones((T, P), jnp.float64),
+            step=jnp.zeros((), jnp.int32),
+            key=key_,
+        )
+
+    # uninterrupted: 2 x 10 sweeps
+    c_a, _ = runner(fresh(key), 10, True, True)
+    c_b, outs_b = runner(c_a, 10, True, True)
+
+    # interrupted: checkpoint after 10, restore, continue
+    state = {"carry": c_a._asdict()}
+    path = os.path.join(tmp_path, "pt-resume")
+    save_state(path, state)
+    back = restore_state(path, template=state)
+    c_r = _PTCarry(**back["carry"])
+    c_c, outs_c = runner(c_r, 10, True, True)
+
+    np.testing.assert_allclose(np.asarray(c_c.u), np.asarray(c_b.u), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(c_c.da.log_eps), np.asarray(c_b.da.log_eps), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs_c["u_cold"]), np.asarray(outs_b["u_cold"]), rtol=1e-12
+    )
