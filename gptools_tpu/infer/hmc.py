@@ -67,7 +67,10 @@ def da_init(eps0: jax.Array) -> DualAveragingState:
     log_eps = jnp.log(eps0)
     return DualAveragingState(
         log_eps=log_eps,
-        log_eps_avg=jnp.zeros_like(log_eps),
+        # seed the average at eps0 so a zero-warmup run samples at eps0
+        # rather than exp(0)=1; the first da_update has weight w = t^-kappa
+        # = 1 and replaces this entirely, so adaptation is unaffected.
+        log_eps_avg=log_eps,
         h_sum=jnp.zeros_like(log_eps),
         mu=jnp.log(10.0) + log_eps,
         t=jnp.zeros_like(log_eps),

@@ -53,7 +53,21 @@ from gptools_tpu.infer.hmc import (
     welford_variance,
 )
 
-__all__ = ["sample", "geometric_ladder", "model_splits"]
+__all__ = ["sample", "geometric_ladder", "model_splits", "tempered_logp_and_grad"]
+
+
+def tempered_logp_and_grad(log_like_fn, log_prior_fn, beta):
+    """value_and_grad of the rung-``beta`` target ``beta * log_like(u) +
+    log_prior_u(u)`` with the reject-don't-crash guard (out-of-support prior
+    short-circuits the likelihood to keep -inf finite-gradient-safe). Shared
+    by `sample` and `gptools_tpu.parallel.mesh.pt_step_sharded`."""
+
+    def f(q):
+        lp = log_prior_fn(q)
+        ll = jnp.where(jnp.isfinite(lp), log_like_fn(q), 0.0)
+        return beta * ll + lp
+
+    return jax.value_and_grad(f)
 
 
 def model_splits(model, data):
@@ -61,19 +75,17 @@ def model_splits(model, data):
     ``(log_like_fn, log_prior_fn)`` — likelihood vs prior-plus-log-Jacobian —
     the decomposition likelihood tempering needs (shared with
     `gptools_tpu.parallel.mesh.pt_step_sharded`)."""
-    import jax.numpy as _jnp
-
-    dtype = _jnp.asarray(model.initial_params).dtype
+    dtype = jnp.asarray(model.initial_params).dtype
 
     def log_like_fn(u):
         theta = model.theta_of_u(u)
         return model.log_marginal(theta, data)
 
     u0_full = model.bijector.inverse(
-        _jnp.asarray(model.initial_params, dtype=dtype)
+        jnp.asarray(model.initial_params, dtype=dtype)
     )
     free_idx = (
-        _jnp.asarray(model.free_idx)
+        jnp.asarray(model.free_idx)
         if model.num_free_params != model.num_params
         else None
     )
@@ -149,12 +161,7 @@ def _make_chunk_runner(
     cache = {}
 
     def rung_logp_and_grad(beta):
-        def f(q):
-            lp = log_prior_fn(q)
-            ll = jnp.where(jnp.isfinite(lp), log_like_fn(q), 0.0)
-            return beta * ll + lp
-
-        return jax.value_and_grad(f)
+        return tempered_logp_and_grad(log_like_fn, log_prior_fn, beta)
 
     def one_sweep(carry: _PTCarry, adapt_eps: bool, collect_welford: bool):
         key, k_hmc, k_swap = jax.random.split(carry.key, 3)
@@ -328,7 +335,6 @@ def sample(
 
     u_cold = jnp.swapaxes(outs["u_cold"], 0, 1)          # (C, S, P)
     log_prob = jnp.swapaxes(outs["log_prob_cold"], 0, 1)
-    thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(u_cold)
     # each pair is active every other sweep, so the conditional swap rate is
     # twice the raw mean over sweeps
     swap_accept = (
@@ -346,6 +352,11 @@ def sample(
         "divergences_warmup": div_warmup,
         "mean_accept": jnp.mean(outs["accept_prob"]),
     }
-    return SampleResult(
-        u=u_cold, thetas=thetas, log_prob=log_prob, diagnostics=diagnostics
+    from gptools_tpu.infer import _attach_thetas  # circular-safe
+
+    return _attach_thetas(
+        model,
+        SampleResult(
+            u=u_cold, thetas=None, log_prob=log_prob, diagnostics=diagnostics
+        ),
     )

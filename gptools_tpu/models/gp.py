@@ -89,23 +89,29 @@ class GPModel:
         self._offsets = (0, sizes[0], sizes[0] + sizes[1])
         self.num_params = sum(sizes)
 
+        from gptools_tpu.utils.bounds import CombinedBounds
+
         names = [f"k.{n}" for n in kernel.param_names]
         fixed = list(kernel.fixed_params)
-        bounds = list(kernel.param_bounds)
+        bound_views = [kernel.param_bounds]
         init = list(kernel.initial_params)
         if noise_kernel:
             names += [f"noise.{n}" for n in noise_kernel.param_names]
             fixed += list(noise_kernel.fixed_params)
-            bounds += list(noise_kernel.param_bounds)
+            bound_views.append(noise_kernel.param_bounds)
             init += list(noise_kernel.initial_params)
         if mean:
             names += [f"mu.{n}" for n in mean.param_names]
             fixed += list(mean.fixed_params)
-            bounds += list(mean.param_bounds)
+            bound_views.append(mean.param_bounds)
             init += list(mean.initial_params)
         self.param_names = tuple(names)
         self.fixed_params = tuple(fixed)
-        self.param_bounds = tuple(bounds)
+        # live view over the components' own (mutable) bounds lists, the
+        # reference's CombinedBounds semantics: writing through this view
+        # mutates the owning kernel/mean. Bounds are host-side metadata —
+        # bijectors/hyperpriors snapshot them when THEY are built.
+        self.param_bounds = CombinedBounds(*bound_views)
         self.initial_params = tuple(init)
         self.free_idx = tuple(i for i, f in enumerate(self.fixed_params) if not f)
         self.num_free_params = len(self.free_idx)
@@ -565,17 +571,18 @@ class GaussianProcess:
     @property
     def param_bounds(self):
         """Concatenated per-component bounds (reference ``param_bounds``
-        ``CombinedBounds`` view). Host-side metadata only: the jitted paths
-        use bijectors, not bound clipping."""
+        ``CombinedBounds`` view): writes go through to the owning
+        kernel/mean. Host-side metadata only — the jitted paths use
+        bijectors/hyperpriors, which snapshot bounds when built."""
         return self.model.param_bounds
 
     @property
     def free_param_bounds(self):
         """Bounds of the free parameters (reference ``free_param_bounds``
-        ``MaskedBounds`` view)."""
+        ``MaskedBounds`` view); writes go through to the owning component."""
         from gptools_tpu.utils.bounds import MaskedBounds
 
-        return MaskedBounds(list(self.model.param_bounds), self.model.free_idx)
+        return MaskedBounds(self.model.param_bounds, self.model.free_idx)
 
     @property
     def hyperprior(self):

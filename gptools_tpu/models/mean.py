@@ -61,7 +61,7 @@ class MeanFunction:
             lo = -math.inf if lo is None else float(lo)
             hi = math.inf if hi is None else float(hi)
             pb.append((lo, hi))
-        self.param_bounds = tuple(pb)
+        self.param_bounds = list(pb)  # writable view semantics, like kernels
         if hyperprior is None:
             finite = [
                 (lo if math.isfinite(lo) else -1e6, hi if math.isfinite(hi) else 1e6)

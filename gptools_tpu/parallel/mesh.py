@@ -179,12 +179,7 @@ def pt_step_sharded(
     log_like_fn, log_prior_fn = _pt.model_splits(model, data)
 
     def rung_logp_and_grad(beta):
-        def f(q):
-            lp = log_prior_fn(q)
-            ll = jnp.where(jnp.isfinite(lp), log_like_fn(q), 0.0)
-            return beta * ll + lp
-
-        return jax.value_and_grad(f)
+        return _pt.tempered_logp_and_grad(log_like_fn, log_prior_fn, beta)
 
     def sweep(u, key, eps, inv_mass, step_idx):
         k_hmc, k_swap = jax.random.split(key)

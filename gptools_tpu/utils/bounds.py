@@ -10,6 +10,11 @@ kernel. The TPU rebuild's jitted paths never touch these (parameters travel
 as flat arrays; bounds become bijectors at model-build time —
 `gptools_tpu.utils.bijectors`), but the wrapper keeps the same host-side
 ergonomics for ported user code.
+
+Scope note: `GPModel.param_bounds` is a live view over its direct
+components' (kernel / noise kernel / mean) bounds lists. Composite kernels
+built with ``+``/``*`` snapshot their children's bounds at construction, so
+mutate the composite's bounds, not the children's, after composing.
 """
 
 from __future__ import annotations
@@ -67,7 +72,10 @@ class CombinedBounds:
             yield from seq
 
     def __eq__(self, other):
-        return list(self) == list(other)
+        try:
+            return list(self) == list(other)
+        except TypeError:
+            return NotImplemented
 
     def __repr__(self):
         return f"CombinedBounds({list(self)!r})"
@@ -114,7 +122,10 @@ class MaskedBounds:
             yield self.base[i]
 
     def __eq__(self, other):
-        return list(self) == list(other)
+        try:
+            return list(self) == list(other)
+        except TypeError:
+            return NotImplemented
 
     def __repr__(self):
         return f"MaskedBounds({list(self)!r})"

@@ -185,3 +185,48 @@ def test_matern_kernel_arb_alias():
     from gptools_tpu.ops.kernels import MaternGeneralKernel, MaternKernelArb
 
     assert MaternKernelArb is MaternGeneralKernel
+
+
+def test_gp_bounds_views_write_through(rng):
+    """gp.param_bounds / gp.free_param_bounds are LIVE views: writes reach
+    the owning kernel (reference CombinedBounds/MaskedBounds semantics)."""
+    import numpy as np
+
+    from gptools_tpu.models.gp import GaussianProcess
+    from gptools_tpu.ops.kernels import SquaredExponentialKernel
+
+    k = SquaredExponentialKernel()
+    gp = GaussianProcess(k)
+    gp.free_param_bounds[0] = (0.5, 2.0)
+    assert gp.free_param_bounds[0] == (0.5, 2.0)   # read back through the view
+    assert k.param_bounds[0] == (0.5, 2.0)          # reached the owning kernel
+    gp.param_bounds[1] = (0.1, 9.0)
+    assert k.param_bounds[1] == (0.1, 9.0)
+    # comparisons against non-iterables are False, not TypeError
+    assert (gp.param_bounds == None) is False  # noqa: E711
+
+
+def test_zero_warmup_uses_eps0(key):
+    """num_warmup=0 must sample at eps0, not exp(0)=1 (da_init seeds the
+    dual-averaging iterate AND its average at eps0)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gptools_tpu.infer import hmc, pt
+    from tests.test_samplers import _ToyModel, gauss_logp
+
+    u0 = 0.1 * jnp.ones((4, 3))
+    res = hmc.sample(
+        gauss_logp, u0, key, num_warmup=0, num_samples=20, num_steps=8,
+        eps0=0.025,
+    )
+    eps = float(res.diagnostics["step_size"])
+    assert np.isclose(eps, 0.025, rtol=1e-6), eps
+
+    res_pt = pt.sample(
+        _ToyModel(), None, key, num_chains=2, num_temps=2, num_warmup=0,
+        num_samples=10, num_steps=4, eps0=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_pt.diagnostics["step_size"]), 0.05, rtol=1e-6
+    )
