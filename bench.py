@@ -55,7 +55,7 @@ def _flagship_problem(n_points=25):
     return model, data
 
 
-def run_tpu_bench(num_chains=4096, num_warmup=250, num_samples=350, seed=0):
+def run_tpu_bench(num_chains=6144, num_warmup=75, num_samples=800, seed=0):
     """End-to-end posterior production with the flagship pipeline:
     adaptive tempered SMC -> massively parallel SMC-initialized NUTS.
     Wall clock covers the FULL pipeline (SMC included)."""
@@ -171,9 +171,9 @@ def main():
     ap = argparse.ArgumentParser()
     # NOTE: --platform handled before jax import below
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
-    ap.add_argument("--chains", type=int, default=4096)
-    ap.add_argument("--samples", type=int, default=350)
-    ap.add_argument("--warmup", type=int, default=250)
+    ap.add_argument("--chains", type=int, default=6144)
+    ap.add_argument("--samples", type=int, default=800)
+    ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
