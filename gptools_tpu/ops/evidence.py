@@ -27,9 +27,66 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CholState", "add_jitter", "chol_factor", "gaussian_loglik"]
+__all__ = [
+    "CholState",
+    "add_jitter",
+    "chol_factor",
+    "gaussian_loglik",
+    "small_cholesky",
+    "small_solve_lower",
+    "small_solve_upper_t",
+]
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+# Below this size the unrolled small-matrix path replaces XLA's cholesky /
+# triangular_solve. Measured on TPU v5 lite (BASELINE.md): XLA's batched
+# Cholesky of (6144, 27, 27) costs ~20 ms — 85% of the whole evidence
+# evaluation — because its blocked algorithm is tuned for LARGE matrices.
+# The unrolled column loop below compiles to ~N fused VPU steps over the
+# batch dimension and is an order of magnitude faster at GP-hyperparameter
+# sizes, while remaining plain jnp ops (exact autodiff, no custom VJP).
+_SMALL_N_MAX = 64
+
+
+def small_cholesky(K: jax.Array) -> jax.Array:
+    """Lower Cholesky of a small SPD matrix by a statically-unrolled
+    column (Cholesky-Banachiewicz) loop. Supports arbitrary leading batch
+    axes; NaN-poisons (rather than raises) on non-PSD input, matching
+    ``jnp.linalg.cholesky`` semantics so the -inf-on-failure contract holds.
+    """
+    n = K.shape[-1]
+    L = jnp.zeros_like(K)
+    for j in range(n):
+        row = L[..., j, :j]                                   # (..., j)
+        d = K[..., j, j] - jnp.sum(row * row, axis=-1)
+        ljj = jnp.sqrt(d)                                     # NaN if d < 0
+        below = K[..., j:, j] - jnp.einsum(
+            "...ik,...k->...i", L[..., j:, :j], row
+        )
+        # i = j reproduces d / sqrt(d) = ljj, so one set covers the column
+        L = L.at[..., j:, j].set(below / ljj[..., None])
+    return L
+
+
+def small_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution ``L x = b`` (unrolled, batch-axis friendly)."""
+    n = L.shape[-1]
+    x = jnp.zeros_like(b)
+    for i in range(n):
+        s = jnp.sum(L[..., i, :i] * x[..., :i], axis=-1)
+        x = x.at[..., i].set((b[..., i] - s) / L[..., i, i])
+    return x
+
+
+def small_solve_upper_t(L: jax.Array, w: jax.Array) -> jax.Array:
+    """Back substitution ``L^T x = w`` (unrolled, batch-axis friendly)."""
+    n = L.shape[-1]
+    x = jnp.zeros_like(w)
+    for i in reversed(range(n)):
+        s = jnp.sum(L[..., i + 1 :, i] * x[..., i + 1 :], axis=-1)
+        x = x.at[..., i].set((w[..., i] - s) / L[..., i, i])
+    return x
 
 
 class CholState(NamedTuple):
@@ -52,8 +109,14 @@ def add_jitter(K: jax.Array, diag_factor: float = 1e2) -> jax.Array:
 
 
 def chol_factor(K: jax.Array, diag_factor: float = 1e2) -> jax.Array:
-    """Lower Cholesky of K with relative jitter (NaN rows on failure)."""
-    return jnp.linalg.cholesky(add_jitter(K, diag_factor))
+    """Lower Cholesky of K with relative jitter (NaN rows on failure).
+
+    Dispatches to the unrolled small-matrix kernel below ``_SMALL_N_MAX``
+    (shape is static under jit, so this is a trace-time branch)."""
+    Kj = add_jitter(K, diag_factor)
+    if K.shape[-1] <= _SMALL_N_MAX:
+        return small_cholesky(Kj)
+    return jnp.linalg.cholesky(Kj)
 
 
 def gaussian_loglik(
@@ -71,8 +134,12 @@ def gaussian_loglik(
     n = r.shape[-1]
     L = chol_factor(K, diag_factor)
     # L may contain NaNs if K was not PD; propagate and mask at the end.
-    w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
-    alpha = jax.scipy.linalg.solve_triangular(L, w, lower=True, trans=1)
+    if n <= _SMALL_N_MAX:
+        w = small_solve_lower(L, r)
+        alpha = small_solve_upper_t(L, w)
+    else:
+        w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        alpha = jax.scipy.linalg.solve_triangular(L, w, lower=True, trans=1)
     quad = jnp.sum(w * w)
     logdet_half = jnp.sum(jnp.log(jnp.diagonal(L)))
     ll = -0.5 * quad - logdet_half - 0.5 * n * _LOG_2PI

@@ -215,3 +215,112 @@ def test_f32_evidence_close_to_f64(rng):
         )
     )
     np.testing.assert_allclose(g32, g64, rtol=5e-2)
+
+
+def test_small_cholesky_matches_xla(rng):
+    """Unrolled static-N Cholesky/solves == XLA's, values and gradients
+    (the TPU hot-path replacement: XLA's batched cholesky of tiny matrices
+    dominated the evidence cost — BASELINE.md)."""
+    from gptools_tpu.ops.evidence import (
+        small_cholesky,
+        small_solve_lower,
+        small_solve_upper_t,
+    )
+
+    for n in (1, 2, 5, 27, 64):
+        A = rng.standard_normal((n, n))
+        K = jnp.asarray(A @ A.T + n * np.eye(n))
+        b = jnp.asarray(rng.standard_normal(n))
+        L_want = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(
+            np.asarray(small_cholesky(K)), L_want, rtol=1e-10, atol=1e-10
+        )
+        L = small_cholesky(K)
+        w = small_solve_lower(L, b)
+        np.testing.assert_allclose(
+            np.asarray(w),
+            np.linalg.solve_tril(np.asarray(L), np.asarray(b))
+            if hasattr(np.linalg, "solve_tril")
+            else np.asarray(
+                jax.scipy.linalg.solve_triangular(L, b, lower=True)
+            ),
+            rtol=1e-10,
+        )
+        alpha = small_solve_upper_t(L, w)
+        np.testing.assert_allclose(
+            np.asarray(alpha), np.linalg.solve(np.asarray(K), np.asarray(b)),
+            rtol=1e-8,
+        )
+    # batched leading axes
+    Ks = jnp.asarray(
+        np.stack(
+            [A @ A.T + 8 * np.eye(8) for A in rng.standard_normal((4, 8, 8))]
+        )
+    )
+    Ls = small_cholesky(Ks)
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(Ls[i]), np.linalg.cholesky(np.asarray(Ks[i])), rtol=1e-10
+        )
+
+
+def test_small_path_gradients_match_xla(rng):
+    """d ll / d K identical through the unrolled path and XLA's cholesky."""
+    from gptools_tpu.ops.evidence import (
+        _LOG_2PI,
+        small_cholesky,
+        small_solve_lower,
+    )
+
+    n = 9
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    r = jnp.asarray(rng.standard_normal(n))
+
+    def ll_small(K):
+        L = small_cholesky(K)
+        w = small_solve_lower(L, r)
+        return (
+            -0.5 * jnp.sum(w * w)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * n * _LOG_2PI
+        )
+
+    def ll_xla(K):
+        L = jnp.linalg.cholesky(K)
+        w = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return (
+            -0.5 * jnp.sum(w * w)
+            - jnp.sum(jnp.log(jnp.diagonal(L)))
+            - 0.5 * n * _LOG_2PI
+        )
+
+    np.testing.assert_allclose(float(ll_small(K)), float(ll_xla(K)), rtol=1e-12)
+    # VJP conventions differ: the unrolled path reads only the LOWER triangle
+    # (all sensitivity lands there), XLA's cholesky VJP symmetrizes. They are
+    # the same linear functional on symmetric perturbations:
+    #   diag equal; lower off-diagonal of small == 2 x XLA's off-diagonal.
+    g1 = np.asarray(jax.grad(ll_small)(K))  # lower triangular
+    g2 = np.asarray(jax.grad(ll_xla)(K))    # symmetric
+    assert np.allclose(np.triu(g1, 1), 0.0)
+    np.testing.assert_allclose(np.diag(g1), np.diag(g2), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.tril(g1, -1), 2.0 * np.tril(g2, -1), rtol=1e-8, atol=1e-10
+    )
+    # and the total derivative along an arbitrary SYMMETRIC direction agrees
+    S = rng.standard_normal((n, n))
+    S = jnp.asarray(S + S.T)
+    d1 = float(jax.jvp(ll_small, (K,), (S,))[1])
+    d2 = float(jax.jvp(ll_xla, (K,), (S,))[1])
+    np.testing.assert_allclose(d1, d2, rtol=1e-8)
+
+
+def test_small_path_non_psd_gives_neg_inf():
+    """Reject-don't-crash contract through the unrolled path."""
+    from gptools_tpu.ops.evidence import gaussian_loglik
+
+    K = jnp.asarray([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+    r = jnp.asarray([0.3, -0.2])
+    st = gaussian_loglik(K, r)
+    assert float(st.ll) == -np.inf
+    assert not bool(st.ok)
