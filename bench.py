@@ -55,7 +55,7 @@ def _flagship_problem(n_points=25):
     return model, data
 
 
-def run_tpu_bench(num_chains=6144, num_warmup=75, num_samples=800, seed=0):
+def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0):
     """End-to-end posterior production with the flagship pipeline:
     adaptive tempered SMC -> massively parallel SMC-initialized NUTS.
     Wall clock covers the FULL pipeline (SMC included)."""
@@ -171,7 +171,7 @@ def main():
     ap = argparse.ArgumentParser()
     # NOTE: --platform handled before jax import below
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
-    ap.add_argument("--chains", type=int, default=6144)
+    ap.add_argument("--chains", type=int, default=12288)
     ap.add_argument("--samples", type=int, default=800)
     ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--verbose", action="store_true")
