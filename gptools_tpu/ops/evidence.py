@@ -54,39 +54,56 @@ def small_cholesky(K: jax.Array) -> jax.Array:
     column (Cholesky-Banachiewicz) loop. Supports arbitrary leading batch
     axes; NaN-poisons (rather than raises) on non-PSD input, matching
     ``jnp.linalg.cholesky`` semantics so the -inf-on-failure contract holds.
+
+    The loop carries a LIST of column vectors rather than updating an
+    (..., n, n) matrix in place: every ``.at[...].set`` on the full matrix
+    would materialize a fresh (batch, n, n) copy in HBM per column (~2n
+    full-matrix roundtrips), which at sampler batch sizes costs more than
+    the arithmetic. Columns only become a matrix once, at the end.
     """
     n = K.shape[-1]
-    L = jnp.zeros_like(K)
+    cols = []  # cols[j]: (..., n - j), the subdiagonal part of column j
     for j in range(n):
-        row = L[..., j, :j]                                   # (..., j)
-        d = K[..., j, j] - jnp.sum(row * row, axis=-1)
-        ljj = jnp.sqrt(d)                                     # NaN if d < 0
-        below = K[..., j:, j] - jnp.einsum(
-            "...ik,...k->...i", L[..., j:, :j], row
-        )
-        # i = j reproduces d / sqrt(d) = ljj, so one set covers the column
-        L = L.at[..., j:, j].set(below / ljj[..., None])
-    return L
+        d = K[..., j, j]
+        below = K[..., j:, j]
+        for k in range(j):
+            ljk = cols[k][..., j - k]
+            d = d - ljk * ljk
+            below = below - cols[k][..., j - k :] * ljk[..., None]
+        cols.append(below / jnp.sqrt(d)[..., None])  # row j: d/sqrt(d)=sqrt(d)
+    batch = K.shape[:-2]
+    full = [
+        jnp.concatenate([jnp.zeros(batch + (j,), K.dtype), c], axis=-1)
+        if j
+        else c
+        for j, c in enumerate(cols)
+    ]
+    return jnp.stack(full, axis=-1)
 
 
 def small_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
-    """Forward substitution ``L x = b`` (unrolled, batch-axis friendly)."""
+    """Forward substitution ``L x = b`` (unrolled, batch-axis friendly;
+    scalar-carried like `small_cholesky` to avoid per-step vector copies)."""
     n = L.shape[-1]
-    x = jnp.zeros_like(b)
+    xs = []
     for i in range(n):
-        s = jnp.sum(L[..., i, :i] * x[..., :i], axis=-1)
-        x = x.at[..., i].set((b[..., i] - s) / L[..., i, i])
-    return x
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * xs[k]
+        xs.append(s / L[..., i, i])
+    return jnp.stack(xs, axis=-1)
 
 
 def small_solve_upper_t(L: jax.Array, w: jax.Array) -> jax.Array:
     """Back substitution ``L^T x = w`` (unrolled, batch-axis friendly)."""
     n = L.shape[-1]
-    x = jnp.zeros_like(w)
+    xs = [None] * n
     for i in reversed(range(n)):
-        s = jnp.sum(L[..., i + 1 :, i] * x[..., i + 1 :], axis=-1)
-        x = x.at[..., i].set((w[..., i] - s) / L[..., i, i])
-    return x
+        s = w[..., i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i] * xs[k]
+        xs[i] = s / L[..., i, i]
+    return jnp.stack(xs, axis=-1)
 
 
 class CholState(NamedTuple):
