@@ -27,7 +27,7 @@ because particles are ~10 floats each).
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -158,30 +158,24 @@ def sample(
     num_mutations: int = 5,
     max_rounds: int = 100,
     verbose: bool = False,
+    mesh=None,
+    mesh_axis: Optional[str] = None,
 ) -> SampleResult:
     """Full adaptive-tempering SMC run. Returns equally-weighted posterior
     particles as a `SampleResult` (chains axis = 1) plus ``log_evidence`` in
     the diagnostics.
+
+    ``mesh``: optional `jax.sharding.Mesh` — the particle axis of the state
+    (u, log_like, log_prior) is laid out over ``mesh_axis`` (default: the
+    mesh's first axis) and every round runs as one pjit program: ESS /
+    normalization sums lower to all-reduces, resampling to gathers
+    (SURVEY.md section 7.3 hard part #3).
     """
-    bij = model.bijector
-    free_idx = jnp.asarray(model.free_idx)
+    # likelihood / prior(+log|det J|) split in u-space, shared with PT
+    from gptools_tpu.infer.pt import model_splits
 
-    def embed(u_free):
-        return model.theta_of_u(u_free)
-
-    def log_like_fn(u_free):
-        theta = embed(u_free)
-        return model.log_marginal(theta, data)
-
-    def log_prior_fn(u_free):
-        # prior density in u-space (prior(theta) + log|det J|)
-        u0 = bij.inverse(jnp.asarray(model.initial_params, u_free.dtype))
-        if model.num_free_params == model.num_params:
-            u_full = u_free
-        else:
-            u_full = u0.at[free_idx].set(u_free)
-        theta = bij.forward(u_full)
-        return model.log_prior(theta) + bij.log_det_jac(u_full)
+    embed = model.theta_of_u
+    log_like_fn, log_prior_fn = model_splits(model, data)
 
     k_init, key = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_init, (num_particles,))
@@ -198,6 +192,30 @@ def sample(
         acc_rate=jnp.ones((), dtype),
     )
 
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = mesh_axis or mesh.axis_names[0]
+        if num_particles % mesh.devices.size != 0:
+            raise ValueError(
+                f"num_particles {num_particles} must be a multiple of mesh "
+                f"size {mesh.devices.size}"
+            )
+        sh_part = NamedSharding(mesh, PartitionSpec(axis))
+        sh_rep = NamedSharding(mesh, PartitionSpec())
+        state_sh = SMCState(
+            u=sh_part,
+            log_like=sh_part,
+            log_prior=sh_part,
+            beta=sh_rep,
+            log_z=sh_rep,
+            key=sh_rep,
+            acc_rate=sh_rep,
+        )
+        state = jax.device_put(state, state_sh)
+        jit_kwargs = {"in_shardings": (state_sh,), "out_shardings": state_sh}
+
     round_fn = jax.jit(
         lambda s: smc_round(
             log_like_fn,
@@ -205,7 +223,8 @@ def sample(
             s,
             ess_target=ess_target,
             num_mutations=num_mutations,
-        )
+        ),
+        **jit_kwargs,
     )
 
     n_rounds = 0

@@ -98,7 +98,7 @@ def sharded_smc(model, data, key, mesh: Optional[Mesh] = None, **kwargs):
 
     if mesh is None:
         mesh = make_mesh()
-    return smc.sample(model, data, key, **kwargs)
+    return smc.sample(model, data, key, mesh=mesh, **kwargs)
 
 
 def training_step_sharded(model, data, mesh: Mesh, num_chains: int):
