@@ -37,6 +37,18 @@ from gptools_tpu.utils import bijectors as bij
 
 __all__ = ["GPModel", "GaussianProcess", "Prediction"]
 
+# cov_backend="auto" resolution, justified by on-chip measurement (VERDICT.md
+# r1 item 2): scripts/bench_cov.py on TPU v5e, 2026-08-18 (table in
+# BASELINE.md) — the fused-XLA builder beats the grid-tiled Pallas twin on
+# BOTH the raw chain-batched build (4.2 vs 8.7 ms at the bench's
+# (12288 chains, N=27); 8.9 vs 14.8 ms at (256, 1024)) and the full
+# evidence gradient, at every measured shape. The build is transcendental-
+# throughput-bound on the VPU (tanh/exp/rsqrt), which XLA already fuses into
+# one elementwise pass over the same padded (8,128) tiles Pallas would touch,
+# so Pallas has no bandwidth or fusion left to win back. Re-run the script
+# and update this constant if the kernels or hardware change.
+_MEASURED_AUTO_BACKEND = "fused"
+
 
 class Prediction(NamedTuple):
     """Posterior predictive summary (reference ``predict`` return tuple)."""
@@ -182,7 +194,7 @@ class GPModel:
 
         backend = self.cov_backend
         if backend == "auto":
-            backend = "fused"
+            backend = _MEASURED_AUTO_BACKEND
         if backend in ("fused", "pallas") and fused.fused_supported(
             self.kernel, data.multi_indices, data.num_dim
         ):

@@ -43,30 +43,39 @@ def initialize(
     NO-OP for single-process runs, so library code can call it
     unconditionally.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        if coordinator_address is None and num_processes is None:
-            # only auto-initialize when an environment actually provides
-            # cluster metadata; otherwise stay single-process
-            import os
+    # NOTE: must not touch the backend (jax.process_count / jax.devices)
+    # before jax.distributed.initialize — backend init is one-shot and
+    # would lock this process into single-process mode.
+    from jax._src import distributed as _jd
 
-            markers = (
-                "COORDINATOR_ADDRESS",
-                "JAX_COORDINATOR_ADDRESS",
-                "TPU_WORKER_HOSTNAMES",
-                "MEGASCALE_COORDINATOR_ADDRESS",
-            )
-            if not any(m in os.environ for m in markers):
-                return
+    if _jd.is_initialized():
+        return  # already initialized
+    explicit = coordinator_address is not None or num_processes is not None
+    if not explicit:
+        # only auto-initialize when an environment actually provides
+        # cluster metadata; otherwise stay single-process
+        import os
+
+        markers = (
+            "COORDINATOR_ADDRESS",
+            "JAX_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+        )
+        if not any(m in os.environ for m in markers):
+            return
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # already initialized or single-process environment
-        pass
+        if explicit:
+            # the caller asked for a real cluster: a coordinator that can't
+            # be reached is a hard error, not a single-process fallback
+            raise
+        # auto-detect raced an already-initialized runtime: keep going
 
 
 def is_multiprocess() -> bool:

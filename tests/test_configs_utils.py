@@ -16,7 +16,10 @@ from gptools_tpu.utils.error_handling import (
 )
 
 
-@pytest.mark.parametrize("cid", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "cid",
+    [pytest.param(c, marks=pytest.mark.slow) for c in (1, 2, 3, 4)] + [5],
+)
 def test_configs_build_and_evaluate(cid):
     prob = configs.ALL_CONFIGS[cid]()
     theta = jnp.asarray(prob.model.initial_params)
@@ -27,6 +30,7 @@ def test_configs_build_and_evaluate(cid):
     assert np.isfinite(np.asarray(g)).all(), cid
 
 
+@pytest.mark.slow
 def test_config1_map_runs(key):
     prob = configs.config1_se_map()
     from gptools_tpu.infer import map_fit

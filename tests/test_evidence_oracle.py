@@ -5,6 +5,7 @@ parity before any Pallas kernel lands')."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gptools_tpu.models.dataset import DatasetBuilder
 from gptools_tpu.models.gp import GPModel
@@ -198,6 +199,7 @@ def test_draw_sample_moments(rng, key):
     np.testing.assert_allclose(emp_cov, np.asarray(pred.cov), atol=0.02)
 
 
+@pytest.mark.slow
 def test_f32_evidence_close_to_f64(rng):
     """TPU numerics guard (SURVEY.md section 7.1 note): the f32 evidence with
     relative jitter must track the f64 value on the flagship-style problem."""
@@ -217,6 +219,7 @@ def test_f32_evidence_close_to_f64(rng):
     np.testing.assert_allclose(g32, g64, rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_small_cholesky_matches_xla(rng):
     """Unrolled static-N Cholesky/solves == XLA's, values and gradients
     (the TPU hot-path replacement: XLA's batched cholesky of tiny matrices

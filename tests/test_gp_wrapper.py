@@ -36,6 +36,7 @@ def test_add_data_update_ll(rng):
     assert float(gp.ll) == float(state.ll)
 
 
+@pytest.mark.slow
 def test_optimize_then_predict(rng, key):
     gp, X, y = _gp(rng)
     res = gp.optimize_hyperparameters(random_starts=4, key=key, num_steps=80)
@@ -53,6 +54,7 @@ def test_optimize_then_predict(rng, key):
     assert w.min() > -1e-6
 
 
+@pytest.mark.slow
 def test_output_transform_prediction(rng, key):
     gp, X, y = _gp(rng)
     gp.optimize_hyperparameters(random_starts=2, key=key, num_steps=60)
@@ -63,6 +65,7 @@ def test_output_transform_prediction(rng, key):
     assert np.isclose(float(m_t[0]), float(np.mean(np.asarray(m_plain))), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sample_posterior_and_predict_mcmc(rng, key):
     gp, X, y = _gp(rng)
     res = gp.sample_hyperparameter_posterior(
@@ -106,6 +109,7 @@ def test_remove_outliers(rng):
     assert gp2.data.num_obs == 30 - n_removed
 
 
+@pytest.mark.slow
 def test_compute_ll_matrix(rng):
     gp, X, y = _gp(rng)
     grid, axes = gp.compute_ll_matrix([(0.5, 2.0), (0.2, 1.0)], 6)
@@ -113,6 +117,7 @@ def test_compute_ll_matrix(rng):
     assert np.isfinite(np.asarray(grid)).all()
 
 
+@pytest.mark.slow
 def test_noise_kernel_hyperparam_inferred(rng, key):
     gp, X, y = _gp(rng, noise=True)
     assert gp.model.num_params == 3
@@ -121,6 +126,7 @@ def test_noise_kernel_hyperparam_inferred(rng, key):
     assert 0.0 <= sn < 1.0  # should find noise near the true 0.1 scale
 
 
+@pytest.mark.slow
 def test_frozen_predictors_match_live(rng, key):
     gp, X, y = _gp(rng)
     gp.update_hyperparameters(jnp.array([1.0, 0.5]))
@@ -174,6 +180,7 @@ def test_draw_sample_modify_sign_and_unique_rows(rng, key):
     np.testing.assert_array_equal(u, [[1, 2], [3, 4], [5, 6]])
 
 
+@pytest.mark.slow
 def test_sampler_reference_spellings(rng):
     """Reference kwargs: nwalkers -> num_chains, thin subsamples, num_proc
     ignored (``gptools/core.py :: sample_hyperparameter_posterior``)."""

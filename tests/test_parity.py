@@ -64,6 +64,7 @@ def _moment_parity(flat_a, flat_b, label, z_tol=4.0):
         assert 0.6 < ratio < 1.7, f"{label} param {d}: std ratio {ratio:.2f}"
 
 
+@pytest.mark.slow
 def test_nuts_parity_se_deriv(rng, key):
     model, data = _se_problem(rng)
     res = nuts.sample(
@@ -83,6 +84,7 @@ def test_nuts_parity_se_deriv(rng, key):
     assert (ess > 50).all(), ess
 
 
+@pytest.mark.slow
 def test_smc_parity_gibbs(rng, key):
     """Config-4 style: Gibbs tanh kernel profile fit with an edge derivative
     constraint, SMC posterior vs ensemble oracle."""
@@ -121,6 +123,7 @@ def _prior_inits(model, key, n):
     return jax.vmap(model.u_of_theta)(thetas)
 
 
+@pytest.mark.slow
 def test_hmc_parity_matern_warp_mean(rng, key):
     """Config-3 style: Matern-5/2 + BetaWarp input warping + linear mean,
     multi-chain HMC vs the ensemble oracle."""

@@ -7,6 +7,7 @@ math — and the predictive math itself vs the numpy oracle."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gptools_tpu.models.dataset import DatasetBuilder
 from gptools_tpu.models.gp import GPModel
@@ -42,6 +43,7 @@ def _predictive_envelope(model, data, thetas, Xstar):
     return np.asarray(mean), np.asarray(jnp.sqrt(var))
 
 
+@pytest.mark.slow
 def test_predictive_envelope_parity(rng, key):
     model, data = _problem(rng)
     Xstar = np.linspace(0, 3, 15)

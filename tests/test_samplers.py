@@ -185,6 +185,7 @@ def test_advi_gaussian_recovers_exactly(key):
     np.testing.assert_allclose(sigma, np.sqrt(0.5), atol=0.05)
 
 
+@pytest.mark.slow
 def test_map_on_gp(rng, key):
     """Config-1 smoke: MAP on a 1-D SE GP recovers sane hyperparameters."""
     from gptools_tpu.models.dataset import DatasetBuilder
@@ -255,6 +256,7 @@ def test_advi_full_rank_recovers_correlation(key):
     np.testing.assert_allclose(emp_cov, model.COV, atol=0.12)
 
 
+@pytest.mark.slow
 def test_smc_then_pipelines_quality(rng, key):
     """Both warm-start pipelines must produce well-mixed chains (Rhat close
     to 1) on a small GP posterior, and agree on moments."""
