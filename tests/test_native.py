@@ -65,3 +65,26 @@ def test_native_matches_jax_with_stuck_chain(lib, rng):
     got = native.ess_batch(chains)
     want = np.asarray(ess_per_param(chains))
     np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_native_ess_budget_fallback_matches_jax():
+    """Long-memory chains exhaust the native Geyer budget; the wrapper must
+    recompute those params through the JAX FFT path and agree exactly."""
+    import numpy as np
+
+    from gptools_tpu.utils import native
+    from gptools_tpu.utils.diagnostics import ess_per_param
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(1)
+    e = rng.standard_normal((64, 400, 3))
+    s = np.empty_like(e)
+    s[:, 0] = e[:, 0]
+    for t in range(1, 400):
+        s[:, t] = 0.95 * s[:, t - 1] + np.sqrt(1 - 0.95**2) * e[:, t]
+    got = native.ess_batch(s, max_pairs=4)  # tiny budget: force the fallback
+    want = np.asarray(ess_per_param(s))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
