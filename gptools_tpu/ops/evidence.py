@@ -21,6 +21,7 @@ likelihood. Differences by design:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -32,6 +33,7 @@ __all__ = [
     "add_jitter",
     "chol_factor",
     "gaussian_loglik",
+    "loglik",
     "small_cholesky",
     "small_solve_lower",
     "small_solve_upper_t",
@@ -163,3 +165,70 @@ def gaussian_loglik(
     ok = jnp.isfinite(ll)
     ll = jnp.where(ok, ll, -jnp.inf)
     return CholState(L=L, alpha=alpha, ll=ll, ok=ok)
+
+
+# ---------------------------------------------------------------------------
+# analytic-gradient scalar evidence (the sampler hot path)
+# ---------------------------------------------------------------------------
+#
+# Autodiffing through the unrolled Cholesky is CORRECT but catastrophically
+# slow on TPU: the transpose of each column update materializes a padded
+# (batch, N, N) scatter, so the backward pass costs ~18x the forward
+# (profiled at (12288, 27): forward 3.9 ms, autodiff gradient 72 ms —
+# BASELINE.md r2 log; the same structure OOMed a 12288-chain compile with
+# 20 GB of pad temps). The gradient of the Gaussian evidence is analytic:
+#
+#     d ll / d K = 1/2 (alpha alpha^T - K^{-1}),   alpha = K^{-1} r
+#     d ll / d r = -alpha
+#
+# so `loglik` wraps the forward in a custom VJP that reuses the factor:
+# K^{-1} from one unrolled triangular solve with identity RHS plus one tiny
+# batched matmul — no differentiation through the factorization at all.
+# The jitter's dependence on mean(diag K) is included (trace term below).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def loglik(K: jax.Array, r: jax.Array, diag_factor: float = 1e2) -> jax.Array:
+    """``log N(r | 0, K + jitter)`` as a scalar, with the analytic VJP.
+
+    Gradient-path twin of `gaussian_loglik().ll` (which callers needing the
+    cached factor still use): identical value and -inf-on-failure contract,
+    but the backward pass costs ~2x the forward instead of ~18x. Unbatched
+    (N, N)/(N,) in, scalar out; vmap batches the custom VJP as usual.
+    """
+    return gaussian_loglik(K, r, diag_factor).ll
+
+
+def _loglik_fwd(K, r, diag_factor):
+    state = gaussian_loglik(K, r, diag_factor)
+    scale = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1))
+    return state.ll, (state.L, state.alpha, state.ok, scale)
+
+
+def _loglik_bwd(diag_factor, res, g):
+    L, alpha, ok, scale = res
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    # X[j] = L^{-1} e_j  =>  X = (L^{-1})^T;  K^{-1} = L^{-T} L^{-1} = X X^T
+    if n <= _SMALL_N_MAX:
+        X = small_solve_lower(L, eye)
+    else:
+        X = jax.scipy.linalg.solve_triangular(L, eye, lower=True).T
+    Kinv = X @ X.T
+    Kbar = 0.5 * (alpha[:, None] * alpha[None, :] - Kinv)
+    # jitter = diag_factor * eps * max(mean diag K, 1): its K-dependence
+    # adds (d jitter/d K_ii) * dll/d jitter = (c/n) * trace(S) on the diag
+    eps = jnp.finfo(L.dtype).eps
+    tr = jnp.trace(Kbar)
+    Kbar = Kbar + jnp.where(
+        scale > 1.0, diag_factor * eps * tr / n, jnp.zeros_like(tr)
+    ) * eye
+    rbar = -alpha
+    # failed factorization: ll is the -inf constant, gradient is zero
+    zero = jnp.zeros((), L.dtype)
+    Kbar = jnp.where(ok, g * Kbar, zero)
+    rbar = jnp.where(ok, g * rbar, zero)
+    return Kbar, rbar
+
+
+loglik.defvjp(_loglik_fwd, _loglik_bwd)

@@ -327,3 +327,86 @@ def test_small_path_non_psd_gives_neg_inf():
     st = gaussian_loglik(K, r)
     assert float(st.ll) == -np.inf
     assert not bool(st.ok)
+
+
+def test_solve_dtype_fallback_improves_f32_evidence(rng):
+    """`GPModel(solve_dtype=float64)` (DESIGN.md section 4 escalation path):
+    with f32 inputs, upcasting ONLY the factorization/solves must land the
+    log-evidence closer to the full-f64 value than the all-f32 pipeline on
+    an ill-conditioned K (near-duplicate inputs)."""
+    from gptools_tpu.utils.priors import LogNormalJointPrior
+
+    X = np.concatenate([np.linspace(0, 2, 12), np.linspace(0, 2, 12) + 2e-4])
+    y = np.sin(X) + 0.01 * rng.standard_normal(24)
+    b = DatasetBuilder(1)
+    b.add(X, y, err_y=0.01)
+    data = b.build()
+    prior = LogNormalJointPrior([0.0, -0.5], [1.0, 1.0])
+
+    def ll(solve_dtype, dtype):
+        model = GPModel(
+            SquaredExponentialKernel(hyperprior=prior), solve_dtype=solve_dtype
+        )
+        theta = jnp.asarray([1.0, 0.8], dtype)
+        # the conftest enables x64, so the dataset must be downcast too for
+        # a true f32 pipeline (x64 promotion would silently upcast K)
+        return float(model.log_marginal(theta, data.astype(dtype)))
+
+    ll64 = ll(None, jnp.float64)
+    ll32 = ll(None, jnp.float32)
+    ll_mixed = ll(jnp.float64, jnp.float32)
+    assert abs(ll_mixed - ll64) < abs(ll32 - ll64), (ll32, ll_mixed, ll64)
+    assert abs(ll_mixed - ll64) < 1e-3 * abs(ll64) + 1e-3
+
+
+def test_analytic_loglik_vjp_matches_autodiff(rng):
+    """`evidence.loglik`'s analytic VJP (dll/dK = (aa^T - K^-1)/2, the
+    sampler hot path since r2) must match full autodiff through the
+    unrolled Cholesky — values, dK, dr, and dtheta through a real GP model
+    with derivative observations — and return ZERO gradient on failed
+    factorizations (the -inf contract)."""
+    n = 9
+    A = rng.standard_normal((n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    r = jnp.asarray(rng.standard_normal(n))
+
+    ll_a = lambda K, r: evidence.loglik(K, r)
+    ll_d = lambda K, r: evidence.gaussian_loglik(K, r).ll
+    assert np.isclose(float(ll_a(K, r)), float(ll_d(K, r)), rtol=1e-12)
+
+    gK_a, gr_a = jax.grad(ll_a, argnums=(0, 1))(K, r)
+    gK_d, gr_d = jax.grad(ll_d, argnums=(0, 1))(K, r)
+    # the unrolled-Cholesky autodiff reads only the lower triangle, so its
+    # K-cotangent piles both (i,j)/(j,i) contributions into the lower entry;
+    # the analytic VJP is symmetric. They are the same gradient for any
+    # symmetric K(theta) — compare via symmetrization.
+    sym = lambda M: np.asarray(M) + np.asarray(M).T
+    np.testing.assert_allclose(sym(gK_a), sym(gK_d), rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gr_a), np.asarray(gr_d), rtol=1e-9, atol=1e-12)
+
+    # through the full model (what NUTS differentiates), incl. vmap
+    from gptools_tpu.utils.priors import LogNormalJointPrior
+
+    X = np.linspace(0, 2, 10)
+    b = DatasetBuilder(1)
+    b.add(X, np.sin(X), err_y=0.05)
+    b.add(np.array([0.0]), np.array([1.0]), err_y=0.05, n=1)
+    data = b.build()
+    model = GPModel(
+        SquaredExponentialKernel(hyperprior=LogNormalJointPrior([0, -1], [1, 1]))
+    )
+
+    def ll_model_autodiff(theta):
+        return model.compute_K_L_alpha_ll(theta, data).ll
+
+    thetas = jnp.asarray([[1.0, 0.7], [0.4, 1.9], [2.2, 0.2]])
+    g_a = jax.vmap(jax.grad(lambda t: model.log_marginal(t, data)))(thetas)
+    g_d = jax.vmap(jax.grad(ll_model_autodiff))(thetas)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_d), rtol=1e-8)
+
+    # non-PSD K -> ll = -inf, gradient exactly zero (not NaN)
+    K_bad = jnp.asarray(-np.eye(n))
+    assert float(ll_a(K_bad, r)) == -np.inf
+    gK_bad, gr_bad = jax.grad(ll_a, argnums=(0, 1))(K_bad, r)
+    assert np.all(np.asarray(gK_bad) == 0.0)
+    assert np.all(np.asarray(gr_bad) == 0.0)
