@@ -40,6 +40,9 @@ CPU_BASELINE_ESS_PER_S = 5.97  # mean of two --baseline runs (6.33, 5.62)
 RHAT_GATE = 1.1
 DIVERGENCE_FRAC_GATE = 1e-3
 
+# ChEES trajectory cap at the bench shape (see BASELINE.md max_steps sweep).
+MAX_STEPS_DEFAULT = 256
+
 DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 
 
@@ -73,7 +76,8 @@ def _flagship_problem(n_points=25):
     return model, data
 
 
-def _measure_once(model, data, seed, num_chains, num_warmup, num_samples):
+def _measure_once(model, data, seed, num_chains, num_warmup, num_samples,
+                  max_steps=256):
     """One timed end-to-end pipeline run. Returns (ess_per_s, info dict)."""
     import jax
 
@@ -90,7 +94,7 @@ def _measure_once(model, data, seed, num_chains, num_warmup, num_samples):
         num_warmup=num_warmup,
         num_samples=num_samples,
         num_particles=1024,
-        max_steps=256,
+        max_steps=max_steps,
     )
     jax.block_until_ready(res.u)
     wall = time.perf_counter() - t0
@@ -123,7 +127,8 @@ def _measure_once(model, data, seed, num_chains, num_warmup, num_samples):
     return min_ess / wall, info
 
 
-def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repeats=3):
+def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repeats=3,
+                  max_steps=256):
     """Compile once (untimed priming run), then ``repeats`` timed end-to-end
     pipeline runs with distinct seeds. Returns (median ESS/s over non-degraded
     runs, summary dict)."""
@@ -137,12 +142,14 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repe
     # Priming run: compiles every program at the measured shapes (SMC rounds,
     # warmup windows, sampling windows). Different seeds do NOT retrace —
     # shapes are identical across repeats.
-    _measure_once(model, data, seed, num_chains, num_warmup, num_samples)
+    _measure_once(model, data, seed, num_chains, num_warmup, num_samples,
+                  max_steps=max_steps)
 
     runs = []
     for i in range(repeats):
         _, info = _measure_once(
-            model, data, seed + i, num_chains, num_warmup, num_samples
+            model, data, seed + i, num_chains, num_warmup, num_samples,
+            max_steps=max_steps,
         )
         print(f"bench repeat {i + 1}/{repeats}: {json.dumps(info)}", file=sys.stderr)
         runs.append(info)
@@ -236,6 +243,10 @@ def main():
     ap.add_argument("--samples", type=int, default=800)
     ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--max-steps", type=int, default=MAX_STEPS_DEFAULT,
+                    help="ChEES leapfrog cap; also clamps the adapted "
+                    "trajectory time to eps*max_steps (measured sweep in "
+                    "BASELINE.md)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
@@ -247,6 +258,7 @@ def main():
             "--warmup", str(args.warmup),
             "--repeats", str(args.repeats),
             "--seed", str(args.seed),
+            "--max-steps", str(args.max_steps),
         ]
         sys.exit(_run_with_retries(argv))
 
@@ -276,6 +288,7 @@ def main():
         num_samples=args.samples,
         seed=args.seed,
         repeats=args.repeats,
+        max_steps=args.max_steps,
     )
     try:
         with open(DETAIL_PATH, "w") as f:

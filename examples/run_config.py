@@ -25,6 +25,18 @@ def main():
     ap.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        nargs="?",
+        const=-1,
+        default=None,
+        metavar="N",
+        help="shard chains/particles over an N-device mesh (default: all "
+        "devices). Config 5 runs sharded by default; combine with "
+        "XLA_FLAGS=--xla_force_host_platform_device_count=8 --cpu to "
+        "exercise the multi-chip path without a pod.",
+    )
     args = ap.parse_args()
 
     import jax
@@ -41,6 +53,17 @@ def main():
     print(f"   data: {prob.data}")
     key = jax.random.PRNGKey(0)
 
+    sampler_kwargs = dict(prob.sampler_kwargs)
+    mesh_n = args.mesh
+    if mesh_n is None and args.config == 5 and len(jax.devices()) > 1:
+        mesh_n = -1  # config 5 is the sharded config: use every device
+    if mesh_n is not None and prob.sampler in ("smc+chees", "smc+nuts", "smc"):
+        from gptools_tpu.parallel import make_mesh
+
+        mesh = make_mesh(None if mesh_n == -1 else mesh_n)
+        sampler_kwargs["mesh"] = mesh
+        print(f"   mesh: {mesh.devices.size} devices over axis {mesh.axis_names}")
+
     t0 = time.perf_counter()
     if prob.sampler is None:
         res = map_fit.optimize(prob.model, prob.data, key, **prob.sampler_kwargs)
@@ -50,7 +73,7 @@ def main():
         theta = res.theta
     else:
         res = run_sampler(
-            prob.model, prob.data, key, sampler=prob.sampler, **prob.sampler_kwargs
+            prob.model, prob.data, key, sampler=prob.sampler, **sampler_kwargs
         )
         summary = plotting.summarize_sampler(res, param_names=prob.model.param_names)
         print(f"   sampler: {prob.sampler}; wall: {time.perf_counter()-t0:.1f}s")

@@ -32,6 +32,28 @@ from gptools_tpu.infer.hmc import SampleResult
 __all__ = ["smc_then_nuts", "smc_then_chees"]
 
 
+def _chain_sharding(mesh, mesh_axis, num_chains):
+    """Chain-axis NamedSharding for the pipeline's (C, P) state, or None.
+
+    BASELINE config 5 path: both SMC particles and sampler chains lay their
+    leading axis over the mesh; GSPMD propagates the sharding through every
+    jitted chunk, so the pooled adaptation statistics (step size, ChEES tau)
+    lower to cross-device all-reduces — the collective step-size adaptation
+    the north-star names (SURVEY.md section 2.4).
+    """
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh_axis or mesh.axis_names[0]
+    if num_chains % mesh.devices.size != 0:
+        raise ValueError(
+            f"num_chains {num_chains} must be a multiple of mesh size "
+            f"{mesh.devices.size}"
+        )
+    return NamedSharding(mesh, PartitionSpec(axis))
+
+
 def smc_then_nuts(
     model,
     data,
@@ -44,21 +66,29 @@ def smc_then_nuts(
     target_accept: float = 0.85,
     whiten: bool = True,
     smc_kwargs: Optional[dict] = None,
+    mesh=None,
+    mesh_axis: Optional[str] = None,
 ) -> SampleResult:
     """Run SMC, then NUTS chains initialized from the particle ensemble.
 
     ``whiten=True`` runs NUTS in the SMC-covariance-whitened coordinates
     (full preconditioner, shorter trees); otherwise the SMC variance is used
-    as a frozen diagonal mass matrix.
+    as a frozen diagonal mass matrix. ``mesh``: optional
+    `jax.sharding.Mesh` — SMC particles and NUTS chains shard their leading
+    axis over it (BASELINE config 5).
     """
+    sh_chain = _chain_sharding(mesh, mesh_axis, num_chains)
     k_smc, k_res, k_nuts = jax.random.split(key, 3)
     smc_res = _smc.sample(
-        model, data, k_smc, num_particles=num_particles, **(smc_kwargs or {})
+        model, data, k_smc, num_particles=num_particles,
+        mesh=mesh, mesh_axis=mesh_axis, **(smc_kwargs or {})
     )
     particles = smc_res.u[0]  # (N, P) unconstrained
 
     idx = jax.random.randint(k_res, (num_chains,), 0, particles.shape[0])
     u0 = particles[idx]
+    if sh_chain is not None:
+        u0 = jax.device_put(u0, sh_chain)
 
     if whiten:
         mu = jnp.mean(particles, axis=0)
@@ -124,6 +154,8 @@ def smc_then_chees(
     max_steps: int = 256,
     whiten: bool = True,
     smc_kwargs: Optional[dict] = None,
+    mesh=None,
+    mesh_axis: Optional[str] = None,
 ) -> SampleResult:
     """SMC warm start + ChEES-HMC chains: the fastest configuration on TPU
     (uniform trajectory lengths -> zero masked-lane waste; see
@@ -134,14 +166,22 @@ def smc_then_chees(
     covariance preconditioner (the diagonal-mass equivalent of a dense mass
     matrix), which shortens trajectories on correlated posteriors. The
     affine map has constant Jacobian, so no density correction is needed.
+
+    ``mesh``: optional `jax.sharding.Mesh` — SMC particles and ChEES chains
+    shard their leading axis over it, with the pooled step-size/tau
+    adaptation lowering to cross-device all-reduces (BASELINE config 5).
     """
+    sh_chain = _chain_sharding(mesh, mesh_axis, num_chains)
     k_smc, k_res, k_run = jax.random.split(key, 3)
     smc_res = _smc.sample(
-        model, data, k_smc, num_particles=num_particles, **(smc_kwargs or {})
+        model, data, k_smc, num_particles=num_particles,
+        mesh=mesh, mesh_axis=mesh_axis, **(smc_kwargs or {})
     )
     particles = smc_res.u[0]
     idx = jax.random.randint(k_res, (num_chains,), 0, particles.shape[0])
     u0 = particles[idx]
+    if sh_chain is not None:
+        u0 = jax.device_put(u0, sh_chain)
 
     if whiten:
         mu = jnp.mean(particles, axis=0)

@@ -27,7 +27,10 @@ GOLDEN_PATH = os.path.join(
     "golden_config4.json",
 )
 
-RUN_KWARGS = dict(num_chains=2048, num_warmup=75, num_samples=400, num_particles=1024)
+# Sized so the x64 CPU oracle finishes in minutes on a 2-core box; the gate's
+# z-test uses MC standard errors from the measured ESS, so chain count only
+# sets the tolerance width, not the validity of the comparison.
+RUN_KWARGS = dict(num_chains=512, num_warmup=75, num_samples=300, num_particles=1024)
 SEED = 7
 
 

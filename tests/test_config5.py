@@ -1,0 +1,91 @@
+"""BASELINE config 5 end to end, as written (VERDICT.md r1 item 5).
+
+1024 chains sharded over the 8-virtual-device CPU mesh through the full
+`smc_then_chees` pipeline (SMC particles AND sampler chains laid out over the
+mesh, pooled adaptation lowering to collectives), with posterior moments
+z-tested against the unsharded run within Monte-Carlo error.
+
+Reference counterpart: gptools/core.py :: sample_hyperparameter_posterior run
+under multiprocessing — here the "pool" is the device mesh (SURVEY.md
+section 2.3/2.4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu import configs
+from gptools_tpu.infer.pipeline import smc_then_chees
+from gptools_tpu.parallel import make_mesh
+from gptools_tpu.utils.diagnostics import ess_per_param, split_rhat
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _moments(res):
+    th = np.asarray(res.thetas)
+    flat = th.reshape(-1, th.shape[-1])
+    ess = np.asarray(ess_per_param(res.thetas))
+    return flat.mean(axis=0), flat.std(axis=0, ddof=1), ess, th
+
+
+@pytest.mark.slow
+def test_config5_sharded_pipeline_as_written(key):
+    """The config-5 spec verbatim: 1024 chains, 100 warmup + 300 samples,
+    line-integral observation, sharded over the mesh."""
+    prob = configs.ALL_CONFIGS[5]()
+    kw = dict(prob.sampler_kwargs)  # num_chains=1024, warmup=100, samples=300
+    mesh = make_mesh(8)
+
+    k_sh, k_ref = jax.random.split(key)
+    res_sh = smc_then_chees(prob.model, prob.data, k_sh, mesh=mesh, **kw)
+    res_ref = smc_then_chees(prob.model, prob.data, k_ref, **kw)
+
+    m_sh, s_sh, e_sh, th_sh = _moments(res_sh)
+    m_ref, s_ref, e_ref, _ = _moments(res_ref)
+
+    # both runs must individually be healthy before comparing
+    assert float(np.max(split_rhat(res_sh.thetas))) < 1.05
+    assert float(np.max(split_rhat(res_ref.thetas))) < 1.05
+
+    se = np.sqrt(s_sh**2 / e_sh + s_ref**2 / e_ref)
+    z = np.abs(m_sh - m_ref) / se
+    assert np.all(z < 5.0), f"posterior means disagree: z={z}"
+    assert np.all(np.abs(s_sh - s_ref) <= 0.2 * s_ref + 5.0 * se), (
+        f"posterior stds disagree: {s_sh} vs {s_ref}"
+    )
+
+    # the sampled state must actually live distributed over the mesh (the
+    # host-side concat/swapaxes may relayout, but a sharded pipeline's output
+    # spans >1 device; an unsharded one sits on exactly one)
+    assert len(res_sh.u.sharding.device_set) > 1
+    assert th_sh.shape == (kw["num_chains"], kw["num_samples"], 5)
+
+
+def test_config5_smoke_sharded(key):
+    """Fast structural check: sharded pipeline executes, chains divide the
+    mesh, result is finite and chain-sharded."""
+    prob = configs.ALL_CONFIGS[5]()
+    mesh = make_mesh(8)
+    res = smc_then_chees(
+        prob.model,
+        prob.data,
+        key,
+        mesh=mesh,
+        num_chains=32,
+        num_warmup=10,
+        num_samples=10,
+        num_particles=64,
+        max_steps=64,
+    )
+    assert res.thetas.shape == (32, 10, 5)
+    assert np.isfinite(np.asarray(res.thetas)).all()
+
+    with pytest.raises(ValueError):
+        smc_then_chees(
+            prob.model, prob.data, key, mesh=mesh, num_chains=30,
+            num_particles=64,
+        )
