@@ -104,6 +104,12 @@ def smc_then_nuts(
                 lambda u: jax.scipy.linalg.solve_triangular(C, u - mu, lower=True)
             )
         )(u0)
+        # The whitening jit can emit a fully-replicated v0 even when u0 is
+        # chain-sharded (GSPMD resolves the small solve to a replicated
+        # layout), which would silently run every chain on every device.
+        # Re-pin the chain axis so the sampler stage stays sharded.
+        if sh_chain is not None:
+            v0 = jax.device_put(v0, sh_chain)
         res = _nuts.sample(
             logp,
             v0,
@@ -199,6 +205,10 @@ def smc_then_chees(
                 )
             )
         )(u0)
+        # See smc_then_nuts: the whitening jit can drop the chain sharding
+        # (replicated output), making the mesh a no-op for the sampler stage.
+        if sh_chain is not None:
+            v0 = jax.device_put(v0, sh_chain)
         res = _chees.sample(
             logp_w,
             v0,

@@ -58,10 +58,12 @@ def test_config5_sharded_pipeline_as_written(key):
         f"posterior stds disagree: {s_sh} vs {s_ref}"
     )
 
-    # the sampled state must actually live distributed over the mesh (the
-    # host-side concat/swapaxes may relayout, but a sharded pipeline's output
-    # spans >1 device; an unsharded one sits on exactly one)
-    assert len(res_sh.u.sharding.device_set) > 1
+    # the sampled state must actually be CHAIN-SHARDED, not merely spanning
+    # devices: a fully-replicated array also spans all 8 devices, so check
+    # that each device holds a strict slice of the chain axis
+    assert not res_sh.u.sharding.is_fully_replicated
+    shard = res_sh.u.addressable_shards[0]
+    assert shard.data.shape[0] == kw["num_chains"] // 8
     assert th_sh.shape == (kw["num_chains"], kw["num_samples"], 5)
 
 
@@ -83,6 +85,9 @@ def test_config5_smoke_sharded(key):
     )
     assert res.thetas.shape == (32, 10, 5)
     assert np.isfinite(np.asarray(res.thetas)).all()
+    # chain-sharded, not replicated: each device holds 32/8 = 4 chains
+    assert not res.u.sharding.is_fully_replicated
+    assert res.u.addressable_shards[0].data.shape[0] == 4
 
     with pytest.raises(ValueError):
         smc_then_chees(
