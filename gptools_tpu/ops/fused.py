@@ -155,8 +155,22 @@ def flagship_cov(kernel, theta, X, nid, multi_indices, backend: str = "fused"):
     backend: 'fused' (plain XLA, differentiable) or 'pallas' (Pallas forward
     with the fused path as custom-vjp backward; TPU only).
     """
-    from gptools_tpu.ops.kernels import GibbsKernel, SquaredExponentialKernel
+    from gptools_tpu.ops.kernels import (
+        GibbsKernel,
+        SquaredExponentialKernel,
+        TanhWarp,
+    )
 
+    # The Gibbs formulas below hard-code the TanhWarp length-scale profile.
+    # `GPModel._latent_cov` only routes here when `fused_supported` says yes,
+    # but a direct caller with e.g. GibbsKernel1dGauss would otherwise get
+    # silently wrong covariances — so re-check the warp type and raise.
+    if isinstance(kernel, GibbsKernel) and type(kernel.warp) is not TanhWarp:
+        raise ValueError(
+            "flagship_cov only implements the TanhWarp Gibbs kernel; got "
+            f"GibbsKernel with warp {type(kernel.warp).__name__}. Use the "
+            "generic assembly (ops.assemble) for other warps."
+        )
     ids = _order_ids(nid, multi_indices)
     Xf = X.reshape(-1)
     if backend == "pallas":

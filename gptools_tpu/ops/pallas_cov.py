@@ -176,8 +176,19 @@ def cov_matrix_flagship(kernel, theta, data, interpret: bool = False):
     """Fused K_ff for a supported flagship kernel over the dataset's latent
     grid. Derivative-order ids must be 0 for (0,) and 1 for (1,) — guaranteed
     by the DatasetBuilder's sorted multi-index table."""
-    from gptools_tpu.ops.kernels import GibbsKernel, SquaredExponentialKernel
+    from gptools_tpu.ops.kernels import (
+        GibbsKernel,
+        SquaredExponentialKernel,
+        TanhWarp,
+    )
 
+    # gibbs_tanh_cov hard-codes the TanhWarp profile; reject other warps
+    # instead of silently computing the wrong covariance (VERDICT r2 weak 3).
+    if isinstance(kernel, GibbsKernel) and type(kernel.warp) is not TanhWarp:
+        raise ValueError(
+            "cov_matrix_flagship only implements the TanhWarp Gibbs kernel; "
+            f"got GibbsKernel with warp {type(kernel.warp).__name__}"
+        )
     nid = fused._order_ids(data.nid, data.multi_indices)
     X = data.Xf.reshape(-1)
     if type(kernel) is SquaredExponentialKernel:
