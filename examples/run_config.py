@@ -63,6 +63,12 @@ def main():
         mesh = make_mesh(None if mesh_n == -1 else mesh_n)
         sampler_kwargs["mesh"] = mesh
         print(f"   mesh: {mesh.devices.size} devices over axis {mesh.axis_names}")
+    elif args.mesh is not None:
+        print(
+            f"   WARNING: --mesh ignored — sampler {prob.sampler!r} for "
+            f"config {args.config} does not support mesh sharding (only "
+            "smc/smc+chees/smc+nuts do); running unsharded."
+        )
 
     t0 = time.perf_counter()
     if prob.sampler is None:

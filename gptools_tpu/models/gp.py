@@ -182,6 +182,45 @@ class GPModel:
     def log_prior(self, theta_full: jax.Array) -> jax.Array:
         return self.hyperprior.log_prob(theta_full)
 
+    def _check_matern_nu_support(self, data: Dataset) -> None:
+        """Free-nu Matern + derivative observations need nu > 1 everywhere the
+        sampler/optimizer can reach: the (1,1) covariance block diverges at
+        coincident points for nu <= 1 (no mean-square derivative), so a prior
+        or bound that admits nu <= 1 makes the likelihood silently -inf/NaN
+        mid-run. Hard-warns once per model on static metadata (VERDICT r2
+        item 8; a warning rather than an error because direct evidence
+        evaluation at a safe nu remains legitimate).
+        """
+        from gptools_tpu.ops.kernels import MaternGeneralKernel
+
+        if getattr(self, "_nu_support_warned", False):
+            return
+        if not isinstance(self.kernel, MaternGeneralKernel):
+            return
+        if all(sum(m) == 0 for m in data.multi_indices):
+            return  # value-only data: any nu > 0 is fine
+        i_nu = self.kernel.param_names.index("nu")
+        lo_bound = float(self.kernel.param_bounds[i_nu][0])
+        lo_prior = float(self.kernel.hyperprior.bounds[i_nu][0])
+        # MCMC explores the prior's support (the bijector comes from the
+        # prior); MAP respects param_bounds — both must exclude nu <= 1.
+        lo = min(lo_bound, lo_prior)
+        if lo <= 1.0:
+            import warnings
+
+            self._nu_support_warned = True
+            warnings.warn(
+                "MaternGeneralKernel with derivative observations requires "
+                "nu > 1 wherever the sampler/optimizer can reach (the (1,1) "
+                "covariance block diverges at coincidence for nu <= 1), but "
+                f"the searchable nu lower bound is {lo:.4g} (param_bounds "
+                f"{lo_bound:.4g}, prior support {lo_prior:.4g}). Tighten the "
+                "nu prior/bounds to (1 + delta, hi) — e.g. "
+                "UniformJointPrior([1.01], [30.0]) — or use the fixed "
+                "half-integer MaternKernel.",
+                stacklevel=3,
+            )
+
     def _latent_cov(self, theta, data: Dataset, include_noise: bool):
         """K over the latent grid: kernel (+ noise kernel if requested).
 
@@ -192,6 +231,7 @@ class GPModel:
         """
         from gptools_tpu.ops import fused
 
+        self._check_matern_nu_support(data)
         backend = self.cov_backend
         if backend == "auto":
             backend = _MEASURED_AUTO_BACKEND

@@ -370,3 +370,119 @@ def test_matern_general_dll_dnu_through_evidence():
             - float(model.log_marginal(theta.at[i].add(-h), data))
         ) / (2 * h)
         assert np.isclose(float(g[i]), fd, rtol=5e-4, atol=1e-7), (i, float(g[i]), fd)
+
+
+def test_matern_general_integer_nudge_bias():
+    """VERDICT r2 weak 6: the integer-nu nudge (|nu - round(nu)| < 1e-6 is
+    moved to round(nu) +- 1e-6 inside the series branch) must induce only an
+    O(1e-6)-relative VALUE bias. Check: shape(u, nu) across nu = 2 +- {5,2,0}
+    e-6 lies on a line (the true shape is analytic in nu across integers),
+    with the nudged nu=2.0 point off the line by at most ~|slope| * 1.5e-6;
+    and the full evidence at nu exactly 2.0 is bracketed by its un-nudged
+    neighbors at 2 +- 2e-6 to the same order."""
+    kg = K.MaternGeneralKernel()
+    u = 5e-3  # inside the series branch (u < _U_SWITCH)
+
+    def shape(nu):
+        return float(kg._shape_series(jnp.asarray(u), jnp.asarray(float(nu))))
+
+    # slope of shape in nu from clearly-un-nudged points
+    s_lo, s_hi = shape(2 - 5e-6), shape(2 + 5e-6)
+    slope = (s_hi - s_lo) / 1e-5
+    line = lambda nu: s_lo + slope * (nu - (2 - 5e-6))
+    for nu, tol_units in [(2 - 2e-6, 0.1), (2 + 2e-6, 0.1), (2.0, 1.5)]:
+        bias = abs(shape(nu) - line(nu))
+        assert bias <= abs(slope) * tol_units * 1e-6 + 1e-14, (nu, bias, slope)
+
+    # evidence level, with a coincident derivative observation in the data
+    from gptools_tpu.models.dataset import DatasetBuilder
+    from gptools_tpu.models.gp import GPModel
+    from gptools_tpu.utils.priors import (
+        LogNormalJointPrior,
+        UniformJointPrior,
+    )
+
+    rng = np.random.default_rng(5)
+    X = np.linspace(0, 2, 9)
+    b = DatasetBuilder(1)
+    b.add(X, np.sin(X) + 0.05 * rng.standard_normal(9), err_y=0.05)
+    b.add(np.array([0.0, 1.0]), np.array([1.0, 0.5]), err_y=0.05, n=1)
+    data = b.build()
+    prior = (
+        LogNormalJointPrior([0.0], [1.0])
+        * UniformJointPrior([1.01], [30.0])  # nu > 1: deriv obs require it
+        * LogNormalJointPrior([-0.5], [1.0])
+    )
+    model = GPModel(K.MaternGeneralKernel(hyperprior=prior))
+
+    def ll(nu):
+        return float(model.log_marginal(jnp.asarray([1.1, nu, 0.8]), data))
+
+    lo, mid, hi = ll(2 - 2e-6), ll(2.0), ll(2 + 2e-6)
+    dll = (hi - lo) / 4e-6  # local dll/dnu
+    assert abs(hi - lo) <= abs(dll) * 4e-6 * 1.5 + 1e-9
+    # nudged midpoint within ~2e-6 * |dll/dnu| of either neighbor
+    assert abs(mid - 0.5 * (lo + hi)) <= abs(dll) * 2.0e-6 + 1e-9, (
+        lo, mid, hi, dll,
+    )
+    # and the autodiff dll/dnu NEXT to the nudge zone matches the local FD
+    g = jax.grad(lambda t: model.log_marginal(t, data))(
+        jnp.asarray([1.1, 2 + 2e-6, 0.8])
+    )
+    assert np.isclose(float(g[1]), dll, rtol=5e-3), (float(g[1]), dll)
+
+
+def test_matern_general_deriv_obs_nu_support_warning():
+    """VERDICT r2 item 8: a free-nu Matern model whose nu prior/bounds admit
+    nu <= 1 must hard-warn when evaluated on derivative observations (the
+    (1,1) block diverges at coincidence for nu <= 1); a nu-safe prior must
+    not warn."""
+    import warnings
+
+    from gptools_tpu.models.dataset import DatasetBuilder
+    from gptools_tpu.models.gp import GPModel
+    from gptools_tpu.utils.priors import (
+        LogNormalJointPrior,
+        UniformJointPrior,
+    )
+
+    b = DatasetBuilder(1)
+    b.add(np.linspace(0, 1, 6), np.zeros(6), err_y=0.1)
+    b.add(np.array([0.0]), np.array([0.0]), err_y=0.1, n=1)
+    data_deriv = b.build()
+    b2 = DatasetBuilder(1)
+    b2.add(np.linspace(0, 1, 6), np.zeros(6), err_y=0.1)
+    data_valonly = b2.build()
+
+    loose = (
+        LogNormalJointPrior([0.0], [1.0])
+        * LogNormalJointPrior([0.6], [0.5])  # support (0, inf): admits nu<=1
+        * LogNormalJointPrior([-0.5], [1.0])
+    )
+    theta = jnp.asarray([1.1, 1.7, 0.8])
+    with pytest.warns(UserWarning, match="nu > 1"):
+        m = GPModel(K.MaternGeneralKernel(hyperprior=loose))
+        m.log_marginal(theta, data_deriv)
+    # warning fires once per model, not per call
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m.log_marginal(theta, data_deriv)
+
+    # value-only data: no warning even with the loose prior
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m2 = GPModel(K.MaternGeneralKernel(hyperprior=loose))
+        m2.log_marginal(theta, data_valonly)
+
+    # nu-safe prior + derivative data: no warning
+    safe = (
+        LogNormalJointPrior([0.0], [1.0])
+        * UniformJointPrior([1.01], [30.0])
+        * LogNormalJointPrior([-0.5], [1.0])
+    )
+    kern = K.MaternGeneralKernel(hyperprior=safe)
+    kern.param_bounds[1] = (1.01, 30.0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        m3 = GPModel(kern)
+        m3.log_marginal(theta, data_deriv)

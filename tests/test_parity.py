@@ -147,3 +147,68 @@ def test_hmc_parity_matern_warp_mean(rng, key):
         model, data, rng, num_steps=2200, burn=700, walkers=24
     )
     _moment_parity(thetas, flat_oracle, "hmc-vs-ensemble-config3", z_tol=5.0)
+
+
+@pytest.mark.slow
+def test_2d_ard_mixed_partial_end_to_end(rng, key):
+    """VERDICT r2 item 9: the reference's derivative machinery is
+    dimension-generic (``gptools/kernel/core.py :: Kernel.__call__`` takes
+    multi-index derivative orders); pin the 2-D path end to end — 2-D ARD SE
+    with value + d/dx1 observations through evidence (FD-pinned gradient) ->
+    NUTS -> derivative prediction against the known truth."""
+    # truth: f(x) = sin(1.5 x1) cos(0.8 x2); df/dx1 = 1.5 cos(1.5 x1) cos(0.8 x2)
+    g = np.linspace(0.0, 2.0, 5)
+    X1, X2 = np.meshgrid(g, g, indexing="ij")
+    Xv = np.stack([X1.ravel(), X2.ravel()], axis=1)
+    f = np.sin(1.5 * Xv[:, 0]) * np.cos(0.8 * Xv[:, 1])
+    yv = f + 0.05 * rng.standard_normal(len(f))
+
+    Xd = np.array([[0.3, 0.5], [1.1, 1.4], [1.7, 0.2], [0.6, 1.8]])
+    dfdx1 = 1.5 * np.cos(1.5 * Xd[:, 0]) * np.cos(0.8 * Xd[:, 1])
+    yd = dfdx1 + 0.05 * rng.standard_normal(len(dfdx1))
+
+    b = DatasetBuilder(2)
+    b.add(Xv, yv, err_y=0.05)
+    b.add(Xd, yd, err_y=0.05, n=[1, 0])  # multi-index (1, 0): d/dx1
+    data = b.build()
+
+    prior = LogNormalJointPrior([0.0, -0.3, -0.3], [0.75, 0.75, 0.75])
+    model = GPModel(SquaredExponentialKernel(num_dim=2, hyperprior=prior))
+
+    # 1) evidence gradient FD-pinned at a generic theta
+    theta = jnp.asarray([1.2, 0.9, 1.3])
+    grad = jax.grad(lambda t: model.log_marginal(t, data))(theta)
+    for i in range(3):
+        h = 1e-5
+        fd = (
+            float(model.log_marginal(theta.at[i].add(h), data))
+            - float(model.log_marginal(theta.at[i].add(-h), data))
+        ) / (2 * h)
+        assert np.isclose(float(grad[i]), fd, rtol=1e-4, atol=1e-8), (
+            i, float(grad[i]), fd,
+        )
+
+    # 2) NUTS over the hyperposterior
+    res = nuts.sample(
+        model_logp_u(model, data),
+        _prior_inits(model, key, 8),
+        key,
+        num_warmup=300,
+        num_samples=300,
+    )
+    th = jax.vmap(jax.vmap(model.theta_of_u))(res.u)
+    ess = np.asarray(ess_per_param(th))
+    assert (ess > 50).all(), ess
+    theta_hat = jnp.asarray(np.asarray(th).reshape(-1, 3).mean(axis=0))
+
+    # 3) value and d/dx1 predictions at held-out points match the truth
+    Xs = np.array([[0.5, 0.9], [1.3, 0.6], [1.8, 1.7], [0.2, 1.2]])
+    truth_v = np.sin(1.5 * Xs[:, 0]) * np.cos(0.8 * Xs[:, 1])
+    truth_d = 1.5 * np.cos(1.5 * Xs[:, 0]) * np.cos(0.8 * Xs[:, 1])
+    pv = model.predict(theta_hat, data, jnp.asarray(Xs), n=0)
+    pd = model.predict(theta_hat, data, jnp.asarray(Xs), n=[1, 0])
+    for i in range(len(Xs)):
+        tol_v = 4.0 * float(pv.std[i]) + 0.02
+        tol_d = 4.0 * float(pd.std[i]) + 0.05
+        assert abs(float(pv.mean[i]) - truth_v[i]) < tol_v, (i, float(pv.mean[i]), truth_v[i], tol_v)
+        assert abs(float(pd.mean[i]) - truth_d[i]) < tol_d, (i, float(pd.mean[i]), truth_d[i], tol_d)
