@@ -72,12 +72,24 @@ def chees_step(
     adam_lr: float = 0.025,
     max_steps: int = 1024,
 ):
-    """One vectorized ChEES-HMC iteration over all chains."""
+    """One vectorized ChEES-HMC iteration over all chains.
+
+    ``logp_and_grad`` is BATCHED: (C, P) -> ((C,), (C, P)). The leapfrog
+    update is layout-agnostic elementwise math, so a chains-minor evidence
+    implementation (``GPModel.log_posterior_u_batch``) plugs in directly —
+    `sample` wraps a per-chain logp in vmap when no batched one is given.
+    """
     C, P = state.qs.shape
     dtype = state.qs.dtype
     key, k_mom, k_acc = jax.random.split(state.key, 3)
 
-    eps = jnp.exp(state.da.log_eps if adapt else state.da.log_eps_avg)
+    # `adapt` may be a Python bool (two specializations) or a traced 0/1
+    # scalar (ONE compiled program serves warmup and sampling — halves the
+    # pipeline's dominant compile cost, see BASELINE.md r3 profile)
+    adapt_t = jnp.asarray(adapt)
+    eps = jnp.exp(
+        jnp.where(adapt_t, state.da.log_eps, state.da.log_eps_avg)
+    )
     tau = jnp.exp(state.log_tau)
     h = _halton(state.iteration).astype(dtype)
     L = jnp.clip(
@@ -86,26 +98,19 @@ def chees_step(
 
     p0 = jax.random.normal(k_mom, (C, P), dtype) / jnp.sqrt(inv_mass)
 
-    def one_leap(carry, _):
-        q, p, logp, g = carry
-        q, p, logp, g = jax.vmap(
-            lambda q_, p_, g_: _hmc.leapfrog(
-                logp_and_grad, q_, p_, eps, inv_mass, grad=g_
-            )
-        )(q, p, g)
-        return (q, p, logp, g), None
-
-    # same L for every chain -> one while loop, no masked lanes
+    # same L for every chain -> one while loop, no masked lanes; leapfrog is
+    # elementwise over (C, P) given the batched gradient
     def loop_body(i, carry):
-        (q, p, logp, g), _ = one_leap(carry, None)
-        return (q, p, logp, g)
+        q, p, logp, g = carry
+        return _hmc.leapfrog(logp_and_grad, q, p, eps, inv_mass, grad=g)
 
     qn, pn, logpn, gn = jax.lax.fori_loop(
         0, L, loop_body, (state.qs, p0, state.logps, state.grads)
     )
 
-    h0 = -state.logps + jax.vmap(lambda p_: _hmc.kinetic(p_, inv_mass))(p0)
-    h1 = -logpn + jax.vmap(lambda p_: _hmc.kinetic(p_, inv_mass))(pn)
+    kin = lambda p_: 0.5 * jnp.sum(p_ * p_ * inv_mass, axis=-1)
+    h0 = -state.logps + kin(p0)
+    h1 = -logpn + kin(pn)
     log_accept = jnp.minimum(0.0, h0 - h1)
     log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
     accept_prob = jnp.exp(log_accept)
@@ -146,22 +151,25 @@ def chees_step(
     norm_g = grad_tau / (jnp.abs(grad_tau) + 1e-12) * jnp.minimum(
         jnp.abs(grad_tau), 1e3
     )  # clip exploding estimates
-    if adapt:
-        log_tau_new, m_new, v_new = adam_update(
-            state.log_tau, state.adam_m, state.adam_v, norm_g, t_f
-        )
-        # keep tau within sane bounds relative to eps
-        log_tau_new = jnp.clip(
-            log_tau_new,
-            jnp.log(eps),
-            jnp.log(eps * max_steps),
-        )
-        da_new = _hmc.da_update(
-            state.da, jnp.mean(accept_prob), target=target_accept
-        )
-    else:
-        log_tau_new, m_new, v_new = state.log_tau, state.adam_m, state.adam_v
-        da_new = state.da
+    # compute the adaptation updates unconditionally and mask by `adapt`
+    # (cheap scalar math; keeps warmup and sampling in one compiled program)
+    log_tau_upd, m_upd, v_upd = adam_update(
+        state.log_tau, state.adam_m, state.adam_v, norm_g, t_f
+    )
+    # keep tau within sane bounds relative to eps
+    log_tau_upd = jnp.clip(
+        log_tau_upd,
+        jnp.log(eps),
+        jnp.log(eps * max_steps),
+    )
+    da_upd = _hmc.da_update(
+        state.da, jnp.mean(accept_prob), target=target_accept
+    )
+    sel = lambda a, b: jnp.where(adapt_t, a, b)
+    log_tau_new = sel(log_tau_upd, state.log_tau)
+    m_new = sel(m_upd, state.adam_m)
+    v_new = sel(v_upd, state.adam_v)
+    da_new = jax.tree_util.tree_map(sel, da_upd, state.da)
 
     new_state = CheesState(
         qs=q_out,
@@ -196,73 +204,86 @@ def sample(
     inv_mass0=None,
     max_steps: int = 1024,
     chunk: int = 25,
+    logp_batched: Optional[Callable] = None,
 ) -> SampleResult:
     """Vectorized ChEES-HMC: warmup (eps + tau + optional mass pooled
-    adaptation), then frozen sampling. ``u0``: (C, P) initial positions."""
+    adaptation), then frozen sampling. ``u0``: (C, P) initial positions.
+
+    ``logp_batched``: optional (C, P) -> (C,) implementation of the same
+    density (e.g. ``GPModel.log_posterior_u_batch``, the chains-minor
+    evidence). When given, the whole sampler runs on one batched
+    value-and-gradient instead of vmapping a per-chain one — measurably
+    faster to compile AND run at bench shapes (BASELINE.md r3).
+    """
     u0 = jnp.atleast_2d(u0)
     C, P = u0.shape
     dtype = u0.dtype
-    logp_and_grad = jax.value_and_grad(logp)
+    if logp_batched is not None:
+
+        def logp_and_grad(qs):
+            lls, pull = jax.vjp(logp_batched, qs)
+            (g,) = pull(jnp.ones_like(lls))
+            return lls, g
+
+    else:
+        _vag = jax.value_and_grad(logp)
+
+        def logp_and_grad(qs):
+            return jax.vmap(_vag)(qs)
 
     inv_mass = (
         jnp.ones((P,), dtype)
         if inv_mass0 is None
         else jnp.asarray(inv_mass0, dtype)
     )
-    logps, grads = jax.jit(jax.vmap(logp_and_grad))(u0)
     tau_init = float(tau0) if tau0 is not None else eps0 * 8.0
-
-    state = CheesState(
-        qs=u0,
-        logps=logps,
-        grads=grads,
-        da=_hmc.da_init(jnp.asarray(eps0, dtype)),
-        log_tau=jnp.log(jnp.asarray(tau_init, dtype)),
-        adam_m=jnp.zeros((), dtype),
-        adam_v=jnp.zeros((), dtype),
-        iteration=jnp.zeros((), jnp.int32),
-        key=key,
-    )
 
     # Device calls are CHUNKED: one jitted scan of `chunk` iterations,
     # executed repeatedly from the host. Long-running single device programs
     # get killed by remote-TPU tunnels (observed with the axon plugin), and
     # chunking also reuses one compiled program for any warmup/sample count.
+    # Warmup and sampling share the SAME compiled program: `adapt` is a
+    # traced 0/1 operand masked into the adaptation updates (chees_step), so
+    # the pipeline pays ONE big compile instead of three — measured 413 s ->
+    # ~1/3 at 12288 chains (BASELINE.md r3 profile).
     chunk = max(1, int(chunk))
 
     @jax.jit
-    def warm_chunk(state):
+    def run_chunk(state, adapt):
         def body(s, _):
             s, (q, lp, stats) = chees_step(
                 logp_and_grad,
                 s,
                 inv_mass,
                 target_accept=target_accept,
-                adapt=True,
+                adapt=adapt,
                 max_steps=max_steps,
             )
-            return s, stats["diverged"]
+            return s, (q, lp, stats["diverged"], stats["accept_prob"],
+                       stats["num_leapfrog"])
 
         return jax.lax.scan(body, state, None, length=chunk)
 
     @jax.jit
-    def samp_chunk(state):
-        def body(s, _):
-            s, (q, lp, stats) = chees_step(
-                logp_and_grad,
-                s,
-                inv_mass,
-                target_accept=target_accept,
-                adapt=False,
-                max_steps=max_steps,
-            )
-            return s, (q, lp, stats)
+    def init_state(u0, key):
+        logps, grads = logp_and_grad(u0)
+        return CheesState(
+            qs=u0,
+            logps=logps,
+            grads=grads,
+            da=_hmc.da_init(jnp.asarray(eps0, dtype)),
+            log_tau=jnp.log(jnp.asarray(tau_init, dtype)),
+            adam_m=jnp.zeros((), dtype),
+            adam_v=jnp.zeros((), dtype),
+            iteration=jnp.zeros((), jnp.int32),
+            key=key,
+        )
 
-        return jax.lax.scan(body, state, None, length=chunk)
-
+    state = init_state(u0, key)
+    one = jnp.ones((), jnp.int32)
     div_w = jnp.zeros((), jnp.int32)
     for _ in range(-(-num_warmup // chunk)):
-        state, div = warm_chunk(state)
+        state, (_, _, div, _, _) = run_chunk(state, one)
         div_w = div_w + jnp.sum(div).astype(jnp.int32)
 
     # freeze: use averaged step size
@@ -273,13 +294,14 @@ def sample(
     divergences = jnp.zeros((), jnp.int32)
     n_leap = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     n_chunks = -(-num_samples // chunk)
+    zero = jnp.zeros((), jnp.int32)
     for _ in range(n_chunks):
-        state, (us_c, lps_c, stats_c) = samp_chunk(state)
+        state, (us_c, lps_c, div_c, acc_c, leap_c) = run_chunk(state, zero)
         us_parts.append(us_c)
         lps_parts.append(lps_c)
-        acc_parts.append(stats_c["accept_prob"])
-        divergences = divergences + jnp.sum(stats_c["diverged"]).astype(jnp.int32)
-        n_leap = n_leap + jnp.sum(stats_c["num_leapfrog"]).astype(n_leap.dtype)
+        acc_parts.append(acc_c)
+        divergences = divergences + jnp.sum(div_c).astype(jnp.int32)
+        n_leap = n_leap + jnp.sum(leap_c).astype(n_leap.dtype)
 
     us = jnp.concatenate(us_parts, axis=0)[:num_samples]
     lps = jnp.concatenate(lps_parts, axis=0)[:num_samples]

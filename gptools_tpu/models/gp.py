@@ -334,6 +334,98 @@ class GPModel:
         )
         return lp + ll
 
+    # -- chains-minor batched evidence (the sampler hot path) ----------------
+    def _batch_supported(self, data: Dataset) -> bool:
+        from gptools_tpu.ops import fused
+
+        return fused.fused_supported(
+            self.kernel, data.multi_indices, data.num_dim
+        ) and not self.kernel.delta_terms()
+
+    def log_marginal_batch(self, thetas: jax.Array, data: Dataset) -> jax.Array:
+        """Batched log marginal likelihood: thetas (C, P) -> (C,).
+
+        Identical values/gradients to ``vmap(log_marginal)`` but built
+        chains-minor: the covariance, factorization, solves, and the analytic
+        VJP all keep the chain axis minormost, so no (N, N) tile padding is
+        paid per chain (ops/evidence.py :: loglik_b). Falls back to the
+        vmapped per-chain path for kernels/data the fused builders don't
+        cover.
+        """
+        from gptools_tpu.ops import fused
+
+        if not self._batch_supported(data):
+            return jax.vmap(lambda t: self.log_marginal(t, data))(thetas)
+        self._check_matern_nu_support(data)
+        thetaT_k = self._theta_k(thetas.T)  # (Pk, C) slice of (P, C)
+        Kff = fused.flagship_cov_soa(
+            self.kernel, thetaT_k, data.Xf, data.nid, data.multi_indices
+        )  # (N, N, C)
+        C = thetas.shape[0]
+        if self.noise_kernel is not None:
+            Kn = jax.vmap(
+                lambda t: assemble.cov_matrix(
+                    self.noise_kernel,
+                    self._theta_noise(t),
+                    data.Xf,
+                    data.nid,
+                    data.Xf,
+                    data.nid,
+                    data.multi_indices,
+                )
+            )(thetas)
+            Kff = Kff + jnp.moveaxis(Kn, 0, -1)
+        if self.mean is not None:
+            mu = jnp.moveaxis(
+                jax.vmap(lambda t: self._latent_mean(t, data))(thetas), 0, -1
+            )  # (N, C)
+        else:
+            mu = jnp.zeros(
+                (Kff.shape[0], 1), Kff.dtype
+            )  # broadcasts over chains
+        if data.T is not None:
+            Kobs = jnp.einsum(
+                "mi,ijc,nj->mnc", data.T, Kff, data.T, optimize=True
+            )
+            mu_obs = data.T @ mu
+        else:
+            Kobs = Kff
+            mu_obs = mu
+        err = data.err_y * data.err_y
+        Kobs = Kobs + jnp.diag(err)[:, :, None]
+        r = data.y[:, None] - mu_obs  # (N, C)
+        if self.solve_dtype is not None:
+            Kobs = Kobs.astype(self.solve_dtype)
+            r = r.astype(self.solve_dtype)
+        r = jnp.broadcast_to(r, (Kobs.shape[0], Kobs.shape[-1]))
+        return evidence.loglik_b(Kobs, r, self.diag_factor)
+
+    def log_posterior_batch(self, thetas: jax.Array, data: Dataset) -> jax.Array:
+        lp = jax.vmap(self.log_prior)(thetas)
+        ll = jnp.where(
+            jnp.isfinite(lp), self.log_marginal_batch(thetas, data), 0.0
+        )
+        return lp + ll
+
+    def log_posterior_u_batch(self, us: jax.Array, data: Dataset) -> jax.Array:
+        """Batched unconstrained-space log posterior: us (C, Pf) -> (C,).
+
+        The bijector/prior work is per-chain tiny (P ~ 5-12 elementwise ops)
+        and stays vmapped; the evidence runs chains-minor.
+        """
+        u0 = self.bijector.inverse(
+            jnp.asarray(self.initial_params, dtype=us.dtype)
+        )
+        if self.num_free_params == self.num_params:
+            u_full = us
+        else:
+            u_full = jnp.broadcast_to(
+                u0, (us.shape[0], self.num_params)
+            ).at[:, jnp.asarray(self.free_idx)].set(us)
+        thetas = jax.vmap(self.bijector.forward)(u_full)
+        ldj = jax.vmap(self.bijector.log_det_jac)(u_full)
+        return self.log_posterior_batch(thetas, data) + ldj
+
     def log_posterior_u(self, u_free: jax.Array, data: Dataset) -> jax.Array:
         """Unconstrained-space log posterior = ll + prior + log|det J|.
 

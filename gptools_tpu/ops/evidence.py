@@ -34,9 +34,13 @@ __all__ = [
     "chol_factor",
     "gaussian_loglik",
     "loglik",
+    "loglik_b",
     "small_cholesky",
+    "small_cholesky_b",
     "small_solve_lower",
+    "small_solve_lower_b",
     "small_solve_upper_t",
+    "small_solve_upper_t_b",
 ]
 
 _LOG_2PI = math.log(2.0 * math.pi)
@@ -232,3 +236,150 @@ def _loglik_bwd(diag_factor, res, g):
 
 
 loglik.defvjp(_loglik_fwd, _loglik_bwd)
+
+
+# ---------------------------------------------------------------------------
+# chains-minor ("structure of arrays") batched evidence — the sampler hot path
+# ---------------------------------------------------------------------------
+#
+# The vmapped per-chain path lays batches out as (C, N, N): XLA pads the two
+# MINOR dims of every (N, N) matrix to the f32 (8, 128) tile, so at the bench
+# shape N = 27 each chain's matrix occupies a (32, 128) physical tile — 5.6x
+# the useful elements — and every stage of the evidence gradient (cov build,
+# factor, solves, K^-1, cotangent contraction) pays that waste in both HBM
+# traffic and VPU lanes. The functions below keep the CHAIN axis minormost
+# instead: matrices are (N, N, C), vectors (N, C), so every unrolled scalar
+# op of the factorization/solves becomes a dense (C,)-vector op with zero
+# padding (C is a multiple of the lane quantum at sampler sizes). Same math,
+# same -inf-on-failure contract; pinned against the per-chain path in
+# tests/test_evidence_batch.py.
+
+
+def small_cholesky_b(K: jax.Array) -> jax.Array:
+    """Lower Cholesky of a batch of small SPD matrices in chains-minor layout:
+    K (N, N, C) -> L (N, N, C). NaN-poisons on non-PSD input."""
+    n = K.shape[0]
+    cols = []  # cols[j]: (n - j, C) subdiagonal part of column j
+    for j in range(n):
+        d = K[j, j]
+        below = K[j:, j]
+        for k in range(j):
+            ljk = cols[k][j - k]
+            d = d - ljk * ljk
+            below = below - cols[k][j - k:] * ljk[None, :]
+        cols.append(below / jnp.sqrt(d)[None, :])
+    C = K.shape[-1]
+    full = [
+        jnp.concatenate([jnp.zeros((j,) + K.shape[2:], K.dtype), c], axis=0)
+        if j
+        else c
+        for j, c in enumerate(cols)
+    ]
+    return jnp.stack(full, axis=1)
+
+
+def small_solve_lower_b(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution ``L x = b`` in chains-minor layout:
+    L (N, N, C), b (N, C) -> x (N, C)."""
+    n = L.shape[0]
+    xs = []
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i, k] * xs[k]
+        xs.append(s / L[i, i])
+    return jnp.stack(xs, axis=0)
+
+
+def small_solve_upper_t_b(L: jax.Array, w: jax.Array) -> jax.Array:
+    """Back substitution ``L^T x = w`` in chains-minor layout."""
+    n = L.shape[0]
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = w[i]
+        for k in range(i + 1, n):
+            s = s - L[k, i] * xs[k]
+        xs[i] = s / L[i, i]
+    return jnp.stack(xs, axis=0)
+
+
+def _inv_lower_b(L: jax.Array) -> jax.Array:
+    """Z = L^{-1} for lower-triangular L (N, N, C), exploiting the identity
+    RHS sparsity (z_j has zeros above row j)."""
+    n = L.shape[0]
+    C = L.shape[-1]
+    zero = jnp.zeros((C,), L.dtype)
+    cols = []
+    for j in range(n):
+        xs = [zero] * j
+        xs.append(1.0 / L[j, j])
+        for i in range(j + 1, n):
+            s = zero
+            for k in range(j, i):
+                s = s - L[i, k] * xs[k]
+            xs.append(s / L[i, i])
+        cols.append(jnp.stack(xs, axis=0))
+    return jnp.stack(cols, axis=1)
+
+
+def _add_jitter_b(K: jax.Array, diag_factor: float):
+    """Relative diagonal jitter, chains-minor: K (N, N, C)."""
+    n = K.shape[0]
+    eps = jnp.finfo(K.dtype).eps
+    diag = jnp.stack([K[i, i] for i in range(n)], axis=0)  # (N, C)
+    scale = jnp.mean(diag, axis=0)  # (C,)
+    jitter = diag_factor * eps * jnp.maximum(scale, jnp.asarray(1.0, K.dtype))
+    eye = jnp.eye(n, dtype=K.dtype)[:, :, None]
+    return K + jitter[None, None, :] * eye, scale
+
+
+def _loglik_b_value(K, r, diag_factor):
+    n = r.shape[0]
+    Kj, scale = _add_jitter_b(K, diag_factor)
+    L = small_cholesky_b(Kj)
+    w = small_solve_lower_b(L, r)
+    alpha = small_solve_upper_t_b(L, w)
+    quad = jnp.sum(w * w, axis=0)
+    diagL = jnp.stack([L[i, i] for i in range(n)], axis=0)
+    logdet_half = jnp.sum(jnp.log(diagL), axis=0)
+    ll = -0.5 * quad - logdet_half - 0.5 * n * _LOG_2PI
+    ok = jnp.isfinite(ll)
+    ll = jnp.where(ok, ll, -jnp.inf)
+    return ll, (L, alpha, ok, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def loglik_b(K: jax.Array, r: jax.Array, diag_factor: float = 1e2) -> jax.Array:
+    """Batched ``log N(r | 0, K + jitter)`` in chains-minor layout with the
+    analytic VJP: K (N, N, C), r (N, C) -> ll (C,).
+
+    Value/gradient twin of ``vmap(loglik)`` over a leading chain axis, but
+    every op runs chain-dense (see module comment above)."""
+    return _loglik_b_value(K, r, diag_factor)[0]
+
+
+def _loglik_b_fwd(K, r, diag_factor):
+    ll, res = _loglik_b_value(K, r, diag_factor)
+    return ll, res
+
+
+def _loglik_b_bwd(diag_factor, res, g):
+    L, alpha, ok, scale = res
+    n = L.shape[0]
+    Z = _inv_lower_b(L)  # L^{-1}
+    Kinv = jnp.einsum("kic,kjc->ijc", Z, Z)  # L^{-T} L^{-1}
+    Kbar = 0.5 * (alpha[:, None, :] * alpha[None, :, :] - Kinv)
+    eps = jnp.finfo(L.dtype).eps
+    tr = jnp.einsum("iic->c", Kbar)
+    eye = jnp.eye(n, dtype=L.dtype)[:, :, None]
+    Kbar = Kbar + jnp.where(
+        scale > 1.0, diag_factor * eps * tr / n, jnp.zeros_like(tr)
+    )[None, None, :] * eye
+    rbar = -alpha
+    okf = ok[None, None, :]
+    Kbar = jnp.where(okf, g[None, None, :] * Kbar, 0.0)
+    rbar = jnp.where(ok[None, :], g[None, :] * rbar, 0.0)
+    return Kbar, rbar
+
+
+loglik_b.defvjp(_loglik_b_fwd, _loglik_b_bwd)

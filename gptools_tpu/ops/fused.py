@@ -27,8 +27,11 @@ __all__ = [
     "assemble_blocks",
     "se_cov_fused",
     "gibbs_tanh_cov_fused",
+    "se_cov_fused_soa",
+    "gibbs_tanh_cov_fused_soa",
     "fused_supported",
     "flagship_cov",
+    "flagship_cov_soa",
 ]
 
 
@@ -120,6 +123,56 @@ def gibbs_tanh_cov_fused(X, nid, theta):
         nid.reshape(-1, 1),
         nid.reshape(1, -1),
     )
+
+
+def se_cov_fused_soa(X, nid, thetaT):
+    """Chains-minor batched fused SE covariance: (N,) points + (N,) order ids
+    + (2, C) per-chain theta -> (N, N, C). The blocks/assembly formulas are
+    shared with the per-chain path — only the broadcast axes differ (chain
+    axis minormost, so every elementwise op runs chain-dense with no tile
+    padding; see ops/evidence.py chains-minor comment)."""
+    x_r = X.reshape(-1, 1, 1)
+    x_c = X.reshape(1, -1, 1)
+    return assemble_blocks(
+        se_blocks(x_r, x_c, thetaT),
+        nid.reshape(-1, 1, 1),
+        nid.reshape(1, -1, 1),
+    )
+
+
+def gibbs_tanh_cov_fused_soa(X, nid, thetaT):
+    """Chains-minor batched fused Gibbs covariance: (N,), (N,), (5, C) ->
+    (N, N, C)."""
+    x_r = X.reshape(-1, 1, 1)
+    x_c = X.reshape(1, -1, 1)
+    return assemble_blocks(
+        gibbs_tanh_blocks(x_r, x_c, thetaT),
+        nid.reshape(-1, 1, 1),
+        nid.reshape(1, -1, 1),
+    )
+
+
+def flagship_cov_soa(kernel, thetaT, X, nid, multi_indices):
+    """Chains-minor batched fused K: thetaT (P, C) -> (N, N, C) for a
+    supported flagship kernel (the batched-evidence hot path)."""
+    from gptools_tpu.ops.kernels import (
+        GibbsKernel,
+        SquaredExponentialKernel,
+        TanhWarp,
+    )
+
+    if isinstance(kernel, GibbsKernel) and type(kernel.warp) is not TanhWarp:
+        raise ValueError(
+            "flagship_cov_soa only implements the TanhWarp Gibbs kernel; got "
+            f"GibbsKernel with warp {type(kernel.warp).__name__}"
+        )
+    ids = _order_ids(nid, multi_indices)
+    Xf = X.reshape(-1)
+    if type(kernel) is SquaredExponentialKernel:
+        return se_cov_fused_soa(Xf, ids, thetaT)
+    if isinstance(kernel, GibbsKernel):
+        return gibbs_tanh_cov_fused_soa(Xf, ids, thetaT)
+    raise ValueError(type(kernel).__name__)
 
 
 def fused_supported(kernel, multi_indices, num_dim) -> bool:

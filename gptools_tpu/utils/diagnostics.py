@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["autocorr", "ess", "split_rhat", "summarize_samples", "ess_per_param", "rank_normalize", "bulk_ess_per_param"]
+__all__ = ["autocorr", "ess", "split_rhat", "summarize_samples", "ess_per_param", "ess_and_rhat", "rank_normalize", "bulk_ess_per_param"]
 
 
 def _next_pow2(n: int) -> int:
@@ -99,6 +99,25 @@ def split_rhat(samples: jax.Array) -> jax.Array:
     return jnp.sqrt(var_plus / w)
 
 
+def ess_and_rhat(samples):
+    """(ESS, split-R-hat) per parameter as numpy arrays, through the native
+    host library when built (~6x / ~3x over the JAX FFT path at bench shapes,
+    BASELINE.md r2 log) with the JAX implementations as fallback. This is the
+    production post-run diagnostic used by bench.py and `summarize_samples`
+    (VERDICT r2 item 10)."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[None]
+    from gptools_tpu.utils import native as _native
+
+    if _native.available():
+        return _native.ess_batch(s), _native.split_rhat_batch(s)
+    return (
+        np.asarray(ess_per_param(jnp.asarray(s))),
+        np.asarray(split_rhat(jnp.asarray(s))),
+    )
+
+
 def summarize_samples(
     samples, param_names=None, wall_time: float | None = None
 ) -> Dict:
@@ -114,20 +133,10 @@ def summarize_samples(
     names = (
         list(param_names) if param_names is not None else [f"p{i}" for i in range(d)]
     )
-    # host-side archives go through the native library when it is built
-    # (lag-incremental Geyer ESS + one-pass split-R-hat; measured ~6x / ~3x
-    # over the JAX FFT path at (12288, 800, 5) — BASELINE.md r2 log); both
-    # wrappers fall back to the JAX implementations below, and budget-
-    # exhausted ESS parameters are recomputed via FFT, so results agree to
-    # float tolerance either way
-    from gptools_tpu.utils import native as _native
-
-    if _native.available():
-        ess_v = _native.ess_batch(s)
-        rhat_v = _native.split_rhat_batch(s)
-    else:
-        ess_v = np.asarray(ess_per_param(jnp.asarray(s)))
-        rhat_v = np.asarray(split_rhat(jnp.asarray(s)))
+    # host-side diagnostics go through the native library when it is built
+    # (see ess_and_rhat; budget-exhausted ESS parameters are recomputed via
+    # FFT inside the wrapper, so results agree to float tolerance either way)
+    ess_v, rhat_v = ess_and_rhat(s)
     out = {
         "params": names,
         "mean": flat.mean(axis=0),

@@ -176,6 +176,7 @@ def test_predict_derivative_consistency(rng):
     assert np.isclose(d, fd, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_vmap_over_theta_batches(rng):
     """The chains hot path: batched evidence under vmap."""
     data = _se_dataset(rng)
@@ -329,6 +330,7 @@ def test_small_path_non_psd_gives_neg_inf():
     assert not bool(st.ok)
 
 
+@pytest.mark.slow
 def test_solve_dtype_fallback_improves_f32_evidence(rng):
     """`GPModel(solve_dtype=float64)` (DESIGN.md section 4 escalation path):
     with f32 inputs, upcasting ONLY the factorization/solves must land the
@@ -359,6 +361,7 @@ def test_solve_dtype_fallback_improves_f32_evidence(rng):
     assert abs(ll_mixed - ll64) < 1e-3 * abs(ll64) + 1e-3
 
 
+@pytest.mark.slow
 def test_analytic_loglik_vjp_matches_autodiff(rng):
     """`evidence.loglik`'s analytic VJP (dll/dK = (aa^T - K^-1)/2, the
     sampler hot path since r2) must match full autodiff through the

@@ -269,6 +269,7 @@ def test_chain_rule_kernel_matches_se():
         assert np.isclose(got, want, rtol=1e-6), (ni, nj)
 
 
+@pytest.mark.slow
 def test_matern_general_derivative_blocks_near_coincidence():
     """(0,1)/(1,1) blocks of the free-nu Matern vs finite differences and the
     analytic coincidence limit, INCLUDING the near-coincident band that the
@@ -339,6 +340,7 @@ def test_matern_general_series_quadrature_branches_agree():
             assert np.isclose(da, db, rtol=5e-3), (nu, u, da, db)
 
 
+@pytest.mark.slow
 def test_matern_general_dll_dnu_through_evidence():
     """d(log evidence)/d(nu) through the full GP evidence (with coincident
     and near-coincident derivative observations in the data) matches finite
