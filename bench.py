@@ -125,6 +125,9 @@ def _measure_once(model, data, seed, num_chains, num_warmup, num_samples,
         "rhat": [round(float(r), 5) for r in rhat],
         "divergences": divergences,
         "total_draws": total_draws,
+        "eps": round(float(res.diagnostics["step_size"]), 5),
+        "tau": round(float(res.diagnostics["trajectory_time"]), 3),
+        "leapfrogs": int(res.diagnostics["num_leapfrog_total"]),
         "degraded": bool(degraded_reasons),
         "degraded_reasons": degraded_reasons,
     }
@@ -267,10 +270,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
     ap.add_argument("--chains", type=int, default=12288)
-    ap.add_argument("--samples", type=int, default=800)
+    ap.add_argument("--samples", type=int, default=None,
+                    help="sampling draws per chain (default 300; 800 under "
+                    "--full, the r2 headline protocol)")
     ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--budget-s", type=float, default=600.0,
+    ap.add_argument("--budget-s", type=float, default=500.0,
                     help="wall budget for the timed repeats (VERDICT r2 "
                     "item 1: the default protocol must finish inside the "
                     "driver's capture window); at least one repeat always "
@@ -285,6 +290,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
+    if args.samples is None:
+        args.samples = 800 if args.full else 300
 
     if not args.child and not args.baseline:
         argv = [

@@ -85,8 +85,32 @@ def main():
         print(json.dumps({"golden_written": GOLDEN_PATH, **{k: out[k] for k in ("mean", "std", "ess")}}))
         return
 
+    if not os.path.exists(GOLDEN_PATH):
+        print(
+            json.dumps(
+                {
+                    "ok": False,
+                    "error": f"golden file {GOLDEN_PATH} missing - run "
+                    "`python scripts/f32_parity.py --golden` (CPU x64) first",
+                }
+            )
+        )
+        sys.exit(2)
     with open(GOLDEN_PATH) as f:
         gold = json.load(f)
+    if gold.get("kwargs") != RUN_KWARGS or gold.get("seed") != SEED:
+        print(
+            json.dumps(
+                {
+                    "ok": False,
+                    "error": "golden was generated at different RUN_KWARGS/"
+                    "seed - regenerate with --golden",
+                    "golden_kwargs": gold.get("kwargs"),
+                    "expected": RUN_KWARGS,
+                }
+            )
+        )
+        sys.exit(2)
     m, s, e = (np.asarray(out[k]) for k in ("mean", "std", "ess"))
     gm, gs, ge = (np.asarray(gold[k]) for k in ("mean", "std", "ess"))
     se = np.sqrt(s**2 / e + gs**2 / ge)
