@@ -291,3 +291,27 @@ def test_smc_then_pipelines_quality(rng, key):
     m2 = np.asarray(r2.thetas).reshape(-1, 2).mean(0)
     np.testing.assert_allclose(m1, m2, rtol=0.1)
     assert "smc_log_evidence" in r1.diagnostics
+
+
+def test_chees_batched_logp_identical(key):
+    """`logp_batched` must reproduce the per-chain path EXACTLY (same random
+    stream, same trajectories): the batched chains-minor density is a
+    drop-in, not an approximation."""
+    from gptools_tpu.infer import chees
+
+    u0 = jax.random.normal(key, (16, 3))
+
+    def batched(qs):
+        return jax.vmap(gauss_logp)(qs)
+
+    res_a = chees.sample(gauss_logp, u0, key, num_warmup=50, num_samples=50)
+    res_b = chees.sample(
+        gauss_logp, u0, key, num_warmup=50, num_samples=50,
+        logp_batched=batched,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_b.u), np.asarray(res_a.u), rtol=1e-10, atol=1e-12
+    )
+    assert int(res_a.diagnostics["num_leapfrog_total"]) == int(
+        res_b.diagnostics["num_leapfrog_total"]
+    )
