@@ -114,11 +114,24 @@ def run_sampler(
 
 
 def model_logp(model, data):
-    """The unconstrained-space target closed over static model + data."""
+    """The unconstrained-space target closed over static model + data.
+
+    Cached per (model, data) so its IDENTITY is stable across calls: the
+    samplers' compiled-program caches (e.g. `chees._build_programs`) key on
+    the density function object, so a fresh closure per `run_sampler` call
+    would force a fresh XLA compile per call. The entry holds ``data``
+    strongly, so the id key cannot be reused by a different object."""
+    cache = model.__dict__.setdefault("_model_logp_cache", {})
+    entry = cache.get(id(data))
+    if entry is not None and entry[0] is data:
+        return entry[1]
+    if len(cache) > 8:
+        cache.clear()
 
     def logp(u):
         return model.log_posterior_u(u, data)
 
+    cache[id(data)] = (data, logp)
     return logp
 
 

@@ -25,6 +25,8 @@ Used by `sample` (standalone warmup) and by
 
 from __future__ import annotations
 
+import functools
+import threading
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -192,6 +194,85 @@ def chees_step(
     return new_state, (q_out, logp_out, stats)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_programs(
+    user_fn: Callable,
+    batched: bool,
+    takes_params: bool,
+    target_accept: float,
+    max_steps: int,
+    chunk: int,
+):
+    """Jitted ``(init_fn, chunk_fn)`` programs for `sample`, cached on the
+    DENSITY FUNCTION'S IDENTITY plus the static sampler config.
+
+    This cache is the difference between paying the dominant XLA compile
+    cost once per (model, data) and paying it on EVERY pipeline invocation:
+    everything that varies between runs — whitening moments, mass matrix,
+    initial step size / trajectory time, seeds, positions — enters the
+    programs as runtime OPERANDS, never as closed-over constants, so a
+    repeated fit (bench repeats, refits in a scan over datasets) reuses the
+    compiled executables. Callers must therefore hand `sample` STABLE
+    function objects (see ``gptools_tpu.infer.pipeline._stable_fns``); a
+    fresh lambda per call silently falls back to one compile per call.
+
+    ``takes_params``: the density takes an extra pytree operand,
+    ``fn(q, params)``; otherwise ``fn(q)`` and params is an empty tuple.
+    """
+    if takes_params:
+        fn = user_fn
+    else:
+        def fn(q, params):
+            del params
+            return user_fn(q)
+
+    if batched:
+
+        def logp_and_grad(qs, params):
+            lls, pull = jax.vjp(lambda q: fn(q, params), qs)
+            (g,) = pull(jnp.ones_like(lls))
+            return lls, g
+
+    else:
+
+        def logp_and_grad(qs, params):
+            return jax.vmap(jax.value_and_grad(lambda q: fn(q, params)))(qs)
+
+    @jax.jit
+    def init_fn(u0, params, key, eps0, tau0):
+        dtype = u0.dtype
+        logps, grads = logp_and_grad(u0, params)
+        return CheesState(
+            qs=u0,
+            logps=logps,
+            grads=grads,
+            da=_hmc.da_init(eps0.astype(dtype)),
+            log_tau=jnp.log(tau0.astype(dtype)),
+            adam_m=jnp.zeros((), dtype),
+            adam_v=jnp.zeros((), dtype),
+            iteration=jnp.zeros((), jnp.int32),
+            key=key,
+        )
+
+    @jax.jit
+    def chunk_fn(state, params, inv_mass, adapt):
+        def body(s, _):
+            s, (q, lp, stats) = chees_step(
+                lambda qs: logp_and_grad(qs, params),
+                s,
+                inv_mass,
+                target_accept=target_accept,
+                adapt=adapt,
+                max_steps=max_steps,
+            )
+            return s, (q, lp, stats["diverged"], stats["accept_prob"],
+                       stats["num_leapfrog"])
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return init_fn, chunk_fn
+
+
 def sample(
     logp: Callable,
     u0: jax.Array,
@@ -205,6 +286,7 @@ def sample(
     max_steps: int = 1024,
     chunk: int = 25,
     logp_batched: Optional[Callable] = None,
+    logp_params=None,
 ) -> SampleResult:
     """Vectorized ChEES-HMC: warmup (eps + tau + optional mass pooled
     adaptation), then frozen sampling. ``u0``: (C, P) initial positions.
@@ -214,22 +296,19 @@ def sample(
     evidence). When given, the whole sampler runs on one batched
     value-and-gradient instead of vmapping a per-chain one — measurably
     faster to compile AND run at bench shapes (BASELINE.md r3).
+
+    ``logp_params``: optional pytree of arrays passed through to the density
+    as a second argument (``logp(q, params)`` / ``logp_batched(qs, params)``).
+    Run-specific values (e.g. whitening moments) MUST travel here rather than
+    be closed over: the compiled programs are cached on the density function's
+    identity (`_build_programs`), so closed-over constants would either go
+    stale or force a fresh multi-minute compile per run.
     """
     u0 = jnp.atleast_2d(u0)
     C, P = u0.shape
     dtype = u0.dtype
-    if logp_batched is not None:
-
-        def logp_and_grad(qs):
-            lls, pull = jax.vjp(logp_batched, qs)
-            (g,) = pull(jnp.ones_like(lls))
-            return lls, g
-
-    else:
-        _vag = jax.value_and_grad(logp)
-
-        def logp_and_grad(qs):
-            return jax.vmap(_vag)(qs)
+    takes_params = logp_params is not None
+    params = logp_params if takes_params else ()
 
     inv_mass = (
         jnp.ones((P,), dtype)
@@ -247,39 +326,70 @@ def sample(
     # the pipeline pays ONE big compile instead of three — measured 413 s ->
     # ~1/3 at 12288 chains (BASELINE.md r3 profile).
     chunk = max(1, int(chunk))
+    init_fn, chunk_fn = _build_programs(
+        logp_batched if logp_batched is not None else logp,
+        logp_batched is not None,
+        takes_params,
+        float(target_accept),
+        int(max_steps),
+        chunk,
+    )
 
-    @jax.jit
     def run_chunk(state, adapt):
-        def body(s, _):
-            s, (q, lp, stats) = chees_step(
-                logp_and_grad,
-                s,
-                inv_mass,
-                target_accept=target_accept,
-                adapt=adapt,
-                max_steps=max_steps,
+        return chunk_fn(state, params, inv_mass, adapt)
+
+    eps0_arr = jnp.asarray(eps0, dtype)
+    tau0_arr = jnp.asarray(tau_init, dtype)
+
+    # First run of a (model, data) pair: compile the big chunk program IN A
+    # BACKGROUND THREAD while the init program compiles + runs on the main
+    # thread. The two compiles are independent XLA invocations, so
+    # overlapping them cuts the pipeline's cold-start wall by ~the init
+    # compile (~70 s of ~165 s at bench shapes, BASELINE.md r3 profile).
+    # The warm call executes one throwaway chunk on zero state. The dummy
+    # operands are plain UNCOMMITTED zeros: jit outputs (the real state) and
+    # eager-op results (the real params/inv_mass) share the uncommitted jit
+    # cache entry, while a device_put-committed dummy would compile into a
+    # SEPARATE entry and the real call would recompile (verified on this
+    # box). Single-device only — under a mesh the dummy's shardings would
+    # not match GSPMD's propagated ones. Best-effort: failures are ignored
+    # and the real call simply compiles synchronously.
+    warm_thread = None
+    try:
+        single_dev = len(u0.devices()) == 1
+        needs_compile = getattr(chunk_fn, "_cache_size", lambda: 1)() == 0
+    except Exception:
+        single_dev = needs_compile = False
+    if single_dev and needs_compile:
+
+        def _zeros_like_struct(tree):
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
             )
-            return s, (q, lp, stats["diverged"], stats["accept_prob"],
-                       stats["num_leapfrog"])
 
-        return jax.lax.scan(body, state, None, length=chunk)
-
-    @jax.jit
-    def init_state(u0, key):
-        logps, grads = logp_and_grad(u0)
-        return CheesState(
-            qs=u0,
-            logps=logps,
-            grads=grads,
-            da=_hmc.da_init(jnp.asarray(eps0, dtype)),
-            log_tau=jnp.log(jnp.asarray(tau_init, dtype)),
-            adam_m=jnp.zeros((), dtype),
-            adam_v=jnp.zeros((), dtype),
-            iteration=jnp.zeros((), jnp.int32),
-            key=key,
+        # trace on the MAIN thread (avoid tracing init_fn concurrently with
+        # the real init_fn call below); the thread only compiles + runs
+        state_sds = jax.eval_shape(init_fn, u0, params, key, eps0_arr, tau0_arr)
+        dummy_args = (
+            _zeros_like_struct(state_sds),
+            _zeros_like_struct(params),
+            jnp.zeros_like(inv_mass),
+            jnp.zeros((), jnp.int32),
         )
 
-    state = init_state(u0, key)
+        def _warm():
+            try:
+                out = chunk_fn(*dummy_args)
+                jax.block_until_ready(out[0].qs)
+            except Exception:
+                pass  # warming is an optimization, never a failure source
+
+        warm_thread = threading.Thread(target=_warm, daemon=True)
+        warm_thread.start()
+
+    state = init_fn(u0, params, key, eps0_arr, tau0_arr)
+    if warm_thread is not None:
+        warm_thread.join()
     one = jnp.ones((), jnp.int32)
     div_w = jnp.zeros((), jnp.int32)
     for _ in range(-(-num_warmup // chunk)):

@@ -32,6 +32,82 @@ from gptools_tpu.infer.hmc import SampleResult
 __all__ = ["smc_then_nuts", "smc_then_chees"]
 
 
+def _stable_fns(model, data):
+    """Per-(model, data) cache of the density closures handed to the ChEES
+    sampler.
+
+    The sampler's compiled-program cache (`chees._build_programs`) is keyed
+    on the density function's IDENTITY, so these closures must be created
+    once per model/data pair — a fresh lambda per pipeline call would force
+    a fresh multi-minute XLA compile per call (exactly the bug this fixes:
+    the r3 bench's priming run primed nothing because every repeat rebuilt
+    the jitted programs; see BASELINE.md). Whitening moments are NOT closed
+    over — they arrive through the sampler's ``logp_params`` operand.
+
+    The cache entry holds ``data`` strongly, so the ``id(data)`` key cannot
+    be reused by a different object while the entry lives.
+    """
+    cache = model.__dict__.setdefault("_pipeline_fn_cache", {})
+    entry = cache.get(id(data))
+    if entry is not None and entry["data"] is data:
+        return entry
+    if len(cache) > 8:
+        cache.clear()
+    batched = model._batch_supported(data)
+
+    def logp_w(v, params):
+        mu, C = params
+        return model.log_posterior_u(mu + C @ v, data)
+
+    def logp_u(u, params):
+        del params
+        return model.log_posterior_u(u, data)
+
+    logp_w_batched = logp_u_batched = None
+    if batched:
+
+        def logp_w_batched(vs, params):
+            mu, C = params
+            return model.log_posterior_u_batch(vs @ C.T + mu, data)
+
+        def logp_u_batched(us, params):
+            del params
+            return model.log_posterior_u_batch(us, data)
+
+    entry = {
+        "data": data,
+        "logp_w": logp_w,
+        "logp_w_batched": logp_w_batched,
+        "logp_u": logp_u,
+        "logp_u_batched": logp_u_batched,
+    }
+    cache[id(data)] = entry
+    return entry
+
+
+@jax.jit
+def _whiten_init(C, mu, u0):
+    """v0 = C^{-1} (u0 - mu) rowwise (module-level jit: compiles once)."""
+    return jax.vmap(
+        lambda u: jax.scipy.linalg.solve_triangular(C, u - mu, lower=True)
+    )(u0)
+
+
+@jax.jit
+def _unwhiten_samples(C, mu, vs):
+    """u = mu + C v over a (chains, samples, P) stack."""
+    return mu + jnp.einsum("ij,csj->csi", C, vs)
+
+
+def _embed2(model):
+    """Cached jit of the double-vmapped u -> theta embedding."""
+    f = model.__dict__.get("_embed2_jit")
+    if f is None:
+        f = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))
+        model.__dict__["_embed2_jit"] = f
+    return f
+
+
 def _chain_sharding(mesh, mesh_axis, num_chains):
     """Chain-axis NamedSharding for the pipeline's (C, P) state, or None.
 
@@ -99,11 +175,7 @@ def smc_then_nuts(
         def logp(v):
             return model.log_posterior_u(mu + C @ v, data)
 
-        v0 = jax.jit(
-            jax.vmap(
-                lambda u: jax.scipy.linalg.solve_triangular(C, u - mu, lower=True)
-            )
-        )(u0)
+        v0 = _whiten_init(C, mu, u0)
         # The whitening jit can emit a fully-replicated v0 even when u0 is
         # chain-sharded (GSPMD resolves the small solve to a replicated
         # layout), which would silently run every chain on every device.
@@ -121,9 +193,7 @@ def smc_then_nuts(
             adapt_mass=False,
             eps0=0.3,
         )
-        res = res._replace(
-            u=jax.jit(lambda vs: mu + jnp.einsum("ij,csj->csi", C, vs))(res.u)
-        )
+        res = res._replace(u=_unwhiten_samples(C, mu, res.u))
     else:
         var = jnp.var(particles, axis=0) + 1e-10
 
@@ -141,7 +211,7 @@ def smc_then_nuts(
             adapt_mass=False,
             inv_mass0=var,
         )
-    thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(res.u)
+    thetas = _embed2(model)(res.u)
     res = res._replace(thetas=thetas)
     res.diagnostics["smc_log_evidence"] = smc_res.diagnostics["log_evidence"]
     res.diagnostics["smc_rounds"] = smc_res.diagnostics["num_rounds"]
@@ -189,36 +259,23 @@ def smc_then_chees(
     if sh_chain is not None:
         u0 = jax.device_put(u0, sh_chain)
 
+    # stable per-(model, data) closures; run-specific whitening moments go
+    # through the sampler's logp_params operand so repeated pipeline calls
+    # reuse the compiled sampler programs (chees._build_programs)
+    fns = _stable_fns(model, data)
     if whiten:
         mu = jnp.mean(particles, axis=0)
         P = particles.shape[1]
         cov = jnp.cov(particles.T) + 1e-8 * jnp.eye(P, dtype=particles.dtype)
         C = jnp.linalg.cholesky(cov)
 
-        def logp_w(v):
-            return model.log_posterior_u(mu + C @ v, data)
-
-        # chains-minor batched density (ops/evidence.py :: loglik_b) when the
-        # model supports it: same values/grads, far cheaper per leapfrog
-        logp_w_batched = None
-        if model._batch_supported(data):
-
-            def logp_w_batched(vs):
-                return model.log_posterior_u_batch(vs @ C.T + mu, data)
-
-        v0 = jax.jit(
-            jax.vmap(
-                lambda u: jax.scipy.linalg.solve_triangular(
-                    C, u - mu, lower=True
-                )
-            )
-        )(u0)
+        v0 = _whiten_init(C, mu, u0)
         # See smc_then_nuts: the whitening jit can drop the chain sharding
         # (replicated output), making the mesh a no-op for the sampler stage.
         if sh_chain is not None:
             v0 = jax.device_put(v0, sh_chain)
         res = _chees.sample(
-            logp_w,
+            fns["logp_w"],
             v0,
             k_run,
             num_warmup=num_warmup,
@@ -226,26 +283,17 @@ def smc_then_chees(
             target_accept=target_accept,
             eps0=0.3,
             max_steps=max_steps,
-            logp_batched=logp_w_batched,
+            # chains-minor batched density (ops/evidence.py :: loglik_b) when
+            # the model supports it: same values/grads, cheaper per leapfrog
+            logp_batched=fns["logp_w_batched"],
+            logp_params=(mu, C),
         )
-        u_samples = jax.jit(
-            lambda vs: mu + jnp.einsum("ij,csj->csi", C, vs)
-        )(res.u)
-        res = res._replace(u=u_samples)
+        res = res._replace(u=_unwhiten_samples(C, mu, res.u))
     else:
         var = jnp.var(particles, axis=0) + 1e-10
 
-        def logp(u):
-            return model.log_posterior_u(u, data)
-
-        logp_batched = None
-        if model._batch_supported(data):
-
-            def logp_batched(us):
-                return model.log_posterior_u_batch(us, data)
-
         res = _chees.sample(
-            logp,
+            fns["logp_u"],
             u0,
             k_run,
             num_warmup=num_warmup,
@@ -253,10 +301,11 @@ def smc_then_chees(
             target_accept=target_accept,
             inv_mass0=var,
             max_steps=max_steps,
-            logp_batched=logp_batched,
+            logp_batched=fns["logp_u_batched"],
+            logp_params=(),
         )
 
-    thetas = jax.jit(jax.vmap(jax.vmap(model.theta_of_u)))(res.u)
+    thetas = _embed2(model)(res.u)
     res = res._replace(thetas=thetas)
     res.diagnostics["smc_log_evidence"] = smc_res.diagnostics["log_evidence"]
     res.diagnostics["smc_rounds"] = smc_res.diagnostics["num_rounds"]

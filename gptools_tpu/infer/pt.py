@@ -74,7 +74,18 @@ def model_splits(model, data):
     """Split the model's unconstrained-space density into
     ``(log_like_fn, log_prior_fn)`` — likelihood vs prior-plus-log-Jacobian —
     the decomposition likelihood tempering needs (shared with
-    `gptools_tpu.parallel.mesh.pt_step_sharded`)."""
+    `gptools_tpu.parallel.mesh.pt_step_sharded`).
+
+    The pair is cached per (model, data): downstream compiled-program caches
+    (`smc._round_program`) key on these functions' identities, so handing out
+    fresh closures per call would force a fresh XLA compile per SMC run. The
+    cache entry holds ``data`` strongly, so the id key cannot be reused."""
+    cache = model.__dict__.setdefault("_model_splits_cache", {})
+    entry = cache.get(id(data))
+    if entry is not None and entry[0] is data:
+        return entry[1], entry[2]
+    if len(cache) > 8:
+        cache.clear()
     dtype = jnp.asarray(model.initial_params).dtype
 
     def log_like_fn(u):
@@ -98,6 +109,7 @@ def model_splits(model, data):
         theta = model.bijector.forward(u_full)
         return model.log_prior(theta) + model.bijector.log_det_jac(u_full)
 
+    cache[id(data)] = (data, log_like_fn, log_prior_fn)
     return log_like_fn, log_prior_fn
 
 

@@ -27,6 +27,7 @@ because particles are ~10 floats each).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -35,6 +36,36 @@ import jax.numpy as jnp
 from gptools_tpu.infer.hmc import SampleResult
 
 __all__ = ["sample", "SMCState"]
+
+
+@functools.lru_cache(maxsize=32)
+def _round_program(log_like_fn, log_prior_fn, ess_target, num_mutations,
+                   state_sh):
+    """Jitted SMC round, cached on the (stable) density-split functions plus
+    static config — repeated SMC runs over the same (model, data) reuse the
+    compiled round instead of recompiling it per `sample` call (the same
+    program-reuse contract as `chees._build_programs`; `pt.model_splits`
+    guarantees stable function identities). ``state_sh``: optional SMCState
+    of NamedShardings (hashable) for the mesh path."""
+    kw = {}
+    if state_sh is not None:
+        kw = {"in_shardings": (state_sh,), "out_shardings": state_sh}
+    return jax.jit(
+        lambda s: smc_round(
+            log_like_fn,
+            log_prior_fn,
+            s,
+            ess_target=ess_target,
+            num_mutations=num_mutations,
+        ),
+        **kw,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _vmapped_jit(fn):
+    """jit(vmap(fn)) cached on fn identity (init-time particle sweeps)."""
+    return jax.jit(jax.vmap(fn))
 
 
 class SMCState(NamedTuple):
@@ -179,20 +210,23 @@ def sample(
 
     k_init, key = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_init, (num_particles,))
-    u0 = jax.jit(jax.vmap(model.u_of_theta))(thetas0)
+    u_of_theta = model.__dict__.get("_u_of_theta_jit")
+    if u_of_theta is None:
+        u_of_theta = jax.jit(jax.vmap(model.u_of_theta))
+        model.__dict__["_u_of_theta_jit"] = u_of_theta
+    u0 = u_of_theta(thetas0)
     dtype = u0.dtype
 
     state = SMCState(
         u=u0,
-        log_like=jax.jit(jax.vmap(log_like_fn))(u0),
-        log_prior=jax.jit(jax.vmap(log_prior_fn))(u0),
+        log_like=_vmapped_jit(log_like_fn)(u0),
+        log_prior=_vmapped_jit(log_prior_fn)(u0),
         beta=jnp.zeros((), dtype),
         log_z=jnp.zeros((), dtype),
         key=key,
         acc_rate=jnp.ones((), dtype),
     )
 
-    jit_kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -214,17 +248,13 @@ def sample(
             acc_rate=sh_rep,
         )
         state = jax.device_put(state, state_sh)
-        jit_kwargs = {"in_shardings": (state_sh,), "out_shardings": state_sh}
 
-    round_fn = jax.jit(
-        lambda s: smc_round(
-            log_like_fn,
-            log_prior_fn,
-            s,
-            ess_target=ess_target,
-            num_mutations=num_mutations,
-        ),
-        **jit_kwargs,
+    round_fn = _round_program(
+        log_like_fn,
+        log_prior_fn,
+        float(ess_target),
+        int(num_mutations),
+        state_sh if mesh is not None else None,
     )
 
     n_rounds = 0
@@ -239,7 +269,11 @@ def sample(
                 f"acc={float(state.acc_rate):.2f} logZ={float(state.log_z):.2f}"
             )
 
-    thetas = jax.jit(jax.vmap(embed))(state.u)
+    embed_jit = model.__dict__.get("_theta_of_u_jit")
+    if embed_jit is None:
+        embed_jit = jax.jit(jax.vmap(embed))
+        model.__dict__["_theta_of_u_jit"] = embed_jit
+    thetas = embed_jit(state.u)
     log_post = state.log_like + state.log_prior
     diagnostics = {
         "log_evidence": state.log_z,

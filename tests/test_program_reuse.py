@@ -1,0 +1,117 @@
+"""Compiled-program reuse across repeated pipeline invocations.
+
+The dominant cost of a pipeline run at production shapes is XLA compilation
+(BASELINE.md r3 stage profile: ~164 s of a ~284 s run over the TPU tunnel).
+That cost must be paid once per (model, data, static config) — NOT once per
+call: `chees._build_programs` / `smc._round_program` cache the jitted
+programs on the density functions' identities, and everything run-specific
+(whitening moments, mass matrix, seeds, initial positions) enters as runtime
+operands. These tests pin that contract — a regression back to
+closure-captured constants (fresh jit per call) shows up here as a cache
+miss on the second call.
+
+Reference counterpart: the reference pays no compile cost at all (eager
+numpy/torch), so repeated fits are cheap there by construction; this is the
+TPU-native equivalent guarantee (SURVEY.md section 7.3).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gptools_tpu.infer import chees as _chees
+from gptools_tpu.infer import smc as _smc
+from gptools_tpu.infer.pipeline import smc_then_chees
+from gptools_tpu.models.dataset import DatasetBuilder
+from gptools_tpu.models.gp import GPModel
+from gptools_tpu.ops.kernels import SquaredExponentialKernel
+from gptools_tpu.utils.priors import LogNormalJointPrior
+
+
+def _problem(rng):
+    X = np.linspace(0, 3, 12)
+    y = np.sin(1.5 * X) + 0.1 * rng.standard_normal(12)
+    b = DatasetBuilder(1)
+    b.add(X, y, err_y=0.1)
+    model = GPModel(
+        SquaredExponentialKernel(
+            hyperprior=LogNormalJointPrior([0.0, -0.5], [0.75, 0.75])
+        )
+    )
+    return model, b.build()
+
+
+RUN_KW = dict(num_chains=32, num_warmup=50, num_samples=50, num_particles=64)
+
+
+def test_pipeline_reuses_compiled_programs(rng, key):
+    """Second smc_then_chees call on the same (model, data) must HIT the
+    sampler/SMC program caches (no new program built), while distinct seeds
+    still flow through as operands (different results)."""
+    model, data = _problem(rng)
+    k1, k2 = jax.random.split(key)
+
+    r1 = smc_then_chees(model, data, k1, **RUN_KW)
+    chees_mid = _chees._build_programs.cache_info()
+    smc_mid = _smc._round_program.cache_info()
+
+    r2 = smc_then_chees(model, data, k2, **RUN_KW)
+    chees_after = _chees._build_programs.cache_info()
+    smc_after = _smc._round_program.cache_info()
+
+    # no new sampler/SMC programs were built for the second run...
+    assert chees_after.currsize == chees_mid.currsize
+    assert smc_after.currsize == smc_mid.currsize
+    # ...because the second run hit the existing ones
+    assert chees_after.hits > chees_mid.hits
+    assert smc_after.hits > smc_mid.hits
+
+    # and the jitted programs saw ONE aval signature across both runs (no
+    # silent retrace from e.g. weak-vs-strong dtype drift in the operands)
+    fns = model.__dict__["_pipeline_fn_cache"][id(data)]
+    init_fn, chunk_fn = _chees._build_programs(
+        fns["logp_w_batched"] or fns["logp_w"],
+        fns["logp_w_batched"] is not None,
+        True,
+        0.75,
+        RUN_KW.get("max_steps", 256),
+        25,
+    )
+    for f in (init_fn, chunk_fn):
+        if hasattr(f, "_cache_size"):
+            assert f._cache_size() == 1
+
+    # different seeds -> different whitening moments/operands -> different
+    # draws (guards against stale closure-captured constants)
+    m1 = np.asarray(r1.thetas).reshape(-1, 2).mean(0)
+    m2 = np.asarray(r2.thetas).reshape(-1, 2).mean(0)
+    assert not np.array_equal(m1, m2)
+    # both runs remain statistically sane and agree within loose MC error
+    np.testing.assert_allclose(m1, m2, rtol=0.25)
+
+
+def test_stable_fns_cached_per_model_data(rng, key):
+    """The density closures handed to the sampler must be identical objects
+    across calls for the same (model, data) and distinct for new data."""
+    from gptools_tpu.infer.pipeline import _stable_fns
+
+    model, data = _problem(rng)
+    a = _stable_fns(model, data)
+    b = _stable_fns(model, data)
+    assert a["logp_w"] is b["logp_w"]
+    assert a["logp_w_batched"] is b["logp_w_batched"]
+
+    model2, data2 = _problem(np.random.default_rng(7))
+    c = _stable_fns(model, data2)
+    assert c["logp_w"] is not a["logp_w"]
+
+
+def test_model_splits_cached(rng):
+    """pt.model_splits must hand back the same function objects per
+    (model, data) so the SMC round program cache can key on them."""
+    from gptools_tpu.infer.pt import model_splits
+
+    model, data = _problem(rng)
+    l1, p1 = model_splits(model, data)
+    l2, p2 = model_splits(model, data)
+    assert l1 is l2 and p1 is p2
