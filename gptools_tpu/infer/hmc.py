@@ -19,6 +19,7 @@ window schedule, and the scan/vmap sampling driver.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -214,7 +215,7 @@ def warmup_schedule(num_warmup: int, init_buffer=75, term_buffer=50, base_window
 
 
 def _window_scan(
-    transition: Callable,
+    transition_of_params: Callable,
     target_accept: float,
     adapt_eps: bool,
     collect_welford: bool,
@@ -223,10 +224,18 @@ def _window_scan(
     """The ONE window scan body shared by `run_window` and
     `make_window_runner` (they previously held near-identical copies —
     VERDICT.md r1 weak #4). Returns
-    ``fn(qs, key, da, welford, inv_mass) -> ((qs, da, welford, key), outs)``.
+    ``fn(qs, key, da, welford, inv_mass, params) ->
+    ((qs, da, welford, key), outs)``.
+
+    ``transition_of_params(params) -> transition`` binds the density's extra
+    operand pytree (e.g. whitening moments) INSIDE the traced program, so
+    run-specific values never become closure constants (the compiled-program
+    reuse contract, see `chees._build_programs`).
     """
 
-    def window_fn(qs, key, da, welford, inv_mass):
+    def window_fn(qs, key, da, welford, inv_mass, params):
+        transition = transition_of_params(params)
+
         def step(carry, _):
             qs, da, welford, key = carry
             key, sub = jax.random.split(key)
@@ -279,15 +288,81 @@ def run_window(
     """
     if welford is None:
         welford = welford_init(qs.shape[1], qs.dtype)
-    fn = _window_scan(transition, target_accept, adapt_eps, collect_welford, length)
-    (qs, da, welford, _), outs = fn(qs, key, da, welford, inv_mass)
+    fn = _window_scan(
+        lambda params: transition, target_accept, adapt_eps, collect_welford,
+        length,
+    )
+    (qs, da, welford, _), outs = fn(qs, key, da, welford, inv_mass, ())
     return qs, da, welford, outs
 
 
+def _make_transition(logp_and_grad: Callable, spec: tuple) -> Callable:
+    """Build a per-chain transition kernel from a HASHABLE spec:
+    ``("hmc", num_steps, jitter)`` or ``("nuts", max_depth, div_threshold)``.
+    The spec (not a closure) is what the compiled-program cache keys on."""
+    kind = spec[0]
+    if kind == "hmc":
+        _, num_steps, jitter = spec
+
+        def transition(q, k, eps, inv_mass):
+            return _hmc_transition(
+                logp_and_grad, q, k, eps, inv_mass, num_steps, jitter
+            )
+
+        return transition
+    if kind == "nuts":
+        from gptools_tpu.infer import nuts as _nuts
+
+        _, max_depth, div_threshold = spec
+        return _nuts.nuts_transition_builder(max_depth, div_threshold)(
+            logp_and_grad
+        )
+    raise ValueError(f"unknown transition spec {spec!r}")
+
+
+@functools.lru_cache(maxsize=128)
+def _window_program(
+    logp: Callable,
+    takes_params: bool,
+    spec: tuple,
+    target_accept: float,
+    adapt_eps: bool,
+    collect_welford: bool,
+    length: int,
+):
+    """Jitted window program cached on the DENSITY FUNCTION'S IDENTITY plus
+    the hashable transition spec and static window config — the HMC/NUTS
+    counterpart of `chees._build_programs`: repeated `sample` calls over the
+    same (model, data) reuse the compiled windows instead of recompiling.
+    Run-specific values (mass matrix, step-size state, whitening params)
+    are runtime operands."""
+    if takes_params:
+        fn = logp
+    else:
+        def fn(q, params):
+            del params
+            return logp(q)
+
+    def transition_of_params(params):
+        return _make_transition(
+            jax.value_and_grad(lambda q: fn(q, params)), spec
+        )
+
+    return jax.jit(
+        _window_scan(
+            transition_of_params, target_accept, adapt_eps, collect_welford,
+            length,
+        )
+    )
+
+
 def make_window_runner(
-    transition: Callable,
+    transition: Optional[Callable] = None,
     target_accept: float = 0.8,
     chunk: int = 25,
+    logp: Optional[Callable] = None,
+    takes_params: bool = False,
+    spec: Optional[tuple] = None,
 ):
     """Chunked, compile-cached window runner.
 
@@ -297,20 +372,34 @@ def make_window_runner(
     long single device programs get killed by remote-TPU tunnels, and
     chunking means EVERY window of every length reuses at most a handful of
     compiled programs instead of one per window length.
+
+    Two modes:
+    - ``logp`` + ``spec`` (preferred): programs come from the GLOBAL
+      `_window_program` cache, so repeated sampler invocations over the same
+      density reuse compiled windows across calls;
+    - ``transition`` (legacy): a prebuilt per-chain kernel; programs are
+      cached only within this runner instance.
     """
     cache = {}
 
     def get_chunk_fn(length: int, adapt_eps: bool, collect_welford: bool):
+        if logp is not None and spec is not None:
+            return _window_program(
+                logp, takes_params, spec, float(target_accept),
+                adapt_eps, collect_welford, length,
+            )
         key_ = (length, adapt_eps, collect_welford)
         if key_ not in cache:
             cache[key_] = jax.jit(
                 _window_scan(
-                    transition, target_accept, adapt_eps, collect_welford, length
+                    lambda params: transition, target_accept, adapt_eps,
+                    collect_welford, length,
                 )
             )
         return cache[key_]
 
-    def run(qs, key, length, da, inv_mass, adapt_eps, collect_welford, welford):
+    def run(qs, key, length, da, inv_mass, adapt_eps, collect_welford,
+            welford, params=()):
         if welford is None:
             welford = welford_init(qs.shape[1], qs.dtype)
         outs_parts = []
@@ -319,7 +408,9 @@ def make_window_runner(
             n = min(chunk, remaining)
             key, sub = jax.random.split(key)
             fn = get_chunk_fn(n, adapt_eps, collect_welford)
-            (qs, da, welford, _), outs = fn(qs, sub, da, welford, inv_mass)
+            (qs, da, welford, _), outs = fn(
+                qs, sub, da, welford, inv_mass, params
+            )
             outs_parts.append(outs)
             remaining -= n
         if len(outs_parts) > 1:
@@ -346,23 +437,45 @@ def sample(
     inv_mass0=None,
     jitter: float = 0.2,
     transition_builder: Optional[Callable] = None,
+    transition_spec: Optional[tuple] = None,
+    logp_params=None,
     metrics=None,
 ) -> SampleResult:
     """Warmup + sampling driver for fixed-length HMC (and, via
-    ``transition_builder``, NUTS). ``u0``: (chains, P) initial positions.
+    ``transition_spec=("nuts", max_depth, div_threshold)``, NUTS).
+    ``u0``: (chains, P) initial positions.
+
+    ``logp_params``: optional pytree passed to the density as a second
+    argument (``logp(q, params)``); run-specific values travel here so the
+    compiled window programs (`_window_program`) are reused across calls.
+    ``transition_builder`` (legacy): a prebuilt kernel factory; bypasses the
+    global program cache.
     """
     u0 = jnp.atleast_2d(u0)
     C, P = u0.shape
     dtype = u0.dtype
-    logp_and_grad = jax.value_and_grad(logp)
+    takes_params = logp_params is not None
+    params = logp_params if takes_params else ()
 
-    if transition_builder is None:
-        def transition(q, k, eps, inv_mass):
-            return _hmc_transition(
-                logp_and_grad, q, k, eps, inv_mass, num_steps, jitter
+    if transition_builder is not None:
+        if takes_params:
+            raise ValueError(
+                "logp_params requires transition_spec, not transition_builder"
             )
+        transition = transition_builder(jax.value_and_grad(logp))
+        runner = make_window_runner(transition, target_accept=target_accept)
     else:
-        transition = transition_builder(logp_and_grad)
+        spec = (
+            transition_spec
+            if transition_spec is not None
+            else ("hmc", int(num_steps), float(jitter))
+        )
+        runner = make_window_runner(
+            target_accept=target_accept,
+            logp=logp,
+            takes_params=takes_params,
+            spec=spec,
+        )
 
     if inv_mass0 is None:
         inv_mass = jnp.ones((P,), dtype)
@@ -373,8 +486,6 @@ def sample(
     qs = u0.astype(dtype)
 
     key, k0 = jax.random.split(key)
-
-    runner = make_window_runner(transition, target_accept=target_accept)
 
     schedule = warmup_schedule(num_warmup)
     div_warmup = jnp.zeros((), jnp.int32)
@@ -389,6 +500,7 @@ def sample(
             True,
             (phase == "slow") and adapt_mass,
             welford,
+            params=params,
         )
         div_warmup = div_warmup + jnp.sum(outs["diverged"]).astype(jnp.int32)
         if metrics is not None:
@@ -404,7 +516,8 @@ def sample(
     da_sampling = da._replace(log_eps=jnp.log(eps_final))
     key, sub = jax.random.split(key)
     qs, _, _, outs = runner(
-        qs, sub, num_samples, da_sampling, inv_mass, False, False, None
+        qs, sub, num_samples, da_sampling, inv_mass, False, False, None,
+        params=params,
     )
 
     if metrics is not None:

@@ -293,10 +293,15 @@ def sample(
     adapt_mass: bool = True,
     inv_mass0=None,
     divergence_threshold: float = 1000.0,
+    logp_params=None,
 ) -> _hmc.SampleResult:
     """Vectorized multi-chain NUTS with pooled warmup adaptation.
 
-    Same driver as `gptools_tpu.infer.hmc.sample`, with the NUTS transition.
+    Same driver as `gptools_tpu.infer.hmc.sample`, with the NUTS transition
+    selected by a HASHABLE spec (not a closure), so the compiled window
+    programs are reused across repeated calls over the same density
+    (`hmc._window_program`). ``logp_params``: optional pytree operand for
+    the density (``logp(q, params)``) — run-specific values travel here.
     """
     return _hmc.sample(
         logp,
@@ -308,5 +313,8 @@ def sample(
         eps0=eps0,
         adapt_mass=adapt_mass,
         inv_mass0=inv_mass0,
-        transition_builder=nuts_transition_builder(max_depth, divergence_threshold),
+        transition_spec=(
+            "nuts", int(max_depth), float(divergence_threshold)
+        ),
+        logp_params=logp_params,
     )

@@ -166,14 +166,15 @@ def smc_then_nuts(
     if sh_chain is not None:
         u0 = jax.device_put(u0, sh_chain)
 
+    # stable per-(model, data) closures + whitening moments as operands:
+    # repeated calls reuse the compiled NUTS window programs
+    # (hmc._window_program)
+    fns = _stable_fns(model, data)
     if whiten:
         mu = jnp.mean(particles, axis=0)
         P = particles.shape[1]
         cov = jnp.cov(particles.T) + 1e-8 * jnp.eye(P, dtype=particles.dtype)
         C = jnp.linalg.cholesky(cov)
-
-        def logp(v):
-            return model.log_posterior_u(mu + C @ v, data)
 
         v0 = _whiten_init(C, mu, u0)
         # The whitening jit can emit a fully-replicated v0 even when u0 is
@@ -183,7 +184,7 @@ def smc_then_nuts(
         if sh_chain is not None:
             v0 = jax.device_put(v0, sh_chain)
         res = _nuts.sample(
-            logp,
+            fns["logp_w"],
             v0,
             k_nuts,
             num_warmup=num_warmup,
@@ -192,16 +193,14 @@ def smc_then_nuts(
             target_accept=target_accept,
             adapt_mass=False,
             eps0=0.3,
+            logp_params=(mu, C),
         )
         res = res._replace(u=_unwhiten_samples(C, mu, res.u))
     else:
         var = jnp.var(particles, axis=0) + 1e-10
 
-        def logp(u):
-            return model.log_posterior_u(u, data)
-
         res = _nuts.sample(
-            logp,
+            fns["logp_u"],
             u0,
             k_nuts,
             num_warmup=num_warmup,
@@ -210,6 +209,7 @@ def smc_then_nuts(
             target_accept=target_accept,
             adapt_mass=False,
             inv_mass0=var,
+            logp_params=(),
         )
     thetas = _embed2(model)(res.u)
     res = res._replace(thetas=thetas)

@@ -90,6 +90,25 @@ def test_pipeline_reuses_compiled_programs(rng, key):
     np.testing.assert_allclose(m1, m2, rtol=0.25)
 
 
+def test_nuts_pipeline_reuses_window_programs(rng, key):
+    """smc_then_nuts must hit the global HMC/NUTS window-program cache on
+    the second call (hmc._window_program), with whitening moments flowing
+    through the logp_params operand."""
+    from gptools_tpu.infer import hmc as _hmc
+    from gptools_tpu.infer.pipeline import smc_then_nuts
+
+    model, data = _problem(rng)
+    k1, k2 = jax.random.split(key)
+    kw = dict(num_chains=16, num_warmup=30, num_samples=30, num_particles=64)
+
+    smc_then_nuts(model, data, k1, **kw)
+    mid = _hmc._window_program.cache_info()
+    smc_then_nuts(model, data, k2, **kw)
+    after = _hmc._window_program.cache_info()
+    assert after.currsize == mid.currsize
+    assert after.hits > mid.hits
+
+
 def test_stable_fns_cached_per_model_data(rng, key):
     """The density closures handed to the sampler must be identical objects
     across calls for the same (model, data) and distinct for new data."""
