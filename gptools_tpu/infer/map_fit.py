@@ -13,7 +13,8 @@ objective (log marginal likelihood + hyperprior).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import functools
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,41 +23,18 @@ import optax
 __all__ = ["MAPResult", "optimize"]
 
 
-class MAPResult(NamedTuple):
-    theta: jax.Array          # best constrained hyperparameters (P,)
-    u: jax.Array              # best unconstrained free vector
-    log_posterior: jax.Array  # value at the optimum
-    all_log_posteriors: jax.Array  # per-start final values
-    all_thetas: jax.Array     # per-start final constrained params
-    converged: jax.Array      # per-start finiteness flag
-
-
-def optimize(
-    model,
-    data,
-    key: jax.Array,
-    random_starts: int = 8,
-    num_steps: int = 200,
-    method: str = "lbfgs",
-    learning_rate: float = 0.05,
-    include_current: bool = True,
-) -> MAPResult:
-    """Maximize ``model.log_posterior_u`` from prior-drawn starts.
-
-    Returns the best start's constrained parameters (reference semantics:
-    best −ll wins, GP left in optimized state by the caller).
-    """
-    nf = model.num_free_params
+@functools.lru_cache(maxsize=64)
+def _optimizer_program(
+    logp: Callable, method: str, num_steps: int, learning_rate: float
+):
+    """Jitted vmapped multi-start optimizer cached on the density function's
+    identity + static config (`infer.model_logp` supplies a stable ``logp``
+    per (model, data)), so repeated `optimize` calls — e.g. refits inside a
+    cross-validation loop — reuse the compiled program instead of re-paying
+    the XLA compile (the same reuse contract as `chees._build_programs`)."""
 
     def loss(u):
-        return -model.log_posterior_u(u, data)
-
-    k_draw, _ = jax.random.split(key)
-    thetas0 = model.hyperprior.sample(k_draw, (random_starts,))
-    u0s = jax.jit(jax.vmap(model.u_of_theta))(thetas0)
-    if include_current:
-        u_cur = model.u_of_theta(jnp.asarray(model.initial_params, u0s.dtype))
-        u0s = jnp.concatenate([u_cur[None, :], u0s], axis=0)
+        return -logp(u)
 
     if method == "lbfgs":
         opt = optax.lbfgs()
@@ -98,13 +76,62 @@ def optimize(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    us, lps = jax.jit(jax.vmap(run_one))(u0s)
+    return jax.jit(jax.vmap(run_one))
+
+
+class MAPResult(NamedTuple):
+    theta: jax.Array          # best constrained hyperparameters (P,)
+    u: jax.Array              # best unconstrained free vector
+    log_posterior: jax.Array  # value at the optimum
+    all_log_posteriors: jax.Array  # per-start final values
+    all_thetas: jax.Array     # per-start final constrained params
+    converged: jax.Array      # per-start finiteness flag
+
+
+def optimize(
+    model,
+    data,
+    key: jax.Array,
+    random_starts: int = 8,
+    num_steps: int = 200,
+    method: str = "lbfgs",
+    learning_rate: float = 0.05,
+    include_current: bool = True,
+) -> MAPResult:
+    """Maximize ``model.log_posterior_u`` from prior-drawn starts.
+
+    Returns the best start's constrained parameters (reference semantics:
+    best −ll wins, GP left in optimized state by the caller).
+    """
+    from gptools_tpu.infer import model_logp  # circular-safe
+
+    nf = model.num_free_params
+
+    k_draw, _ = jax.random.split(key)
+    thetas0 = model.hyperprior.sample(k_draw, (random_starts,))
+    u_of_theta = model.__dict__.get("_u_of_theta_jit")
+    if u_of_theta is None:
+        u_of_theta = jax.jit(jax.vmap(model.u_of_theta))
+        model.__dict__["_u_of_theta_jit"] = u_of_theta
+    u0s = u_of_theta(thetas0)
+    if include_current:
+        u_cur = model.u_of_theta(jnp.asarray(model.initial_params, u0s.dtype))
+        u0s = jnp.concatenate([u_cur[None, :], u0s], axis=0)
+
+    run_all = _optimizer_program(
+        model_logp(model, data), method, int(num_steps), float(learning_rate)
+    )
+    us, lps = run_all(u0s)
     finite = jnp.isfinite(lps)
     lps_masked = jnp.where(finite, lps, -jnp.inf)
     best = jnp.argmax(lps_masked)
     u_best = us[best]
     theta_best = model.theta_of_u(u_best)
-    all_thetas = jax.jit(jax.vmap(model.theta_of_u))(us)
+    embed_jit = model.__dict__.get("_theta_of_u_jit")
+    if embed_jit is None:
+        embed_jit = jax.jit(jax.vmap(model.theta_of_u))
+        model.__dict__["_theta_of_u_jit"] = embed_jit
+    all_thetas = embed_jit(us)
     return MAPResult(
         theta=theta_best,
         u=u_best,

@@ -36,6 +36,7 @@ programs across all window lengths).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple
 
 import jax
@@ -159,6 +160,85 @@ def _swap_step(arrays, ll, betas, key, parity):
     return [permute(x) for x in arrays], permute(ll), swap_frac
 
 
+@functools.lru_cache(maxsize=128)
+def _pt_chunk_program(
+    log_like_fn: Callable,
+    log_prior_fn: Callable,
+    num_steps: int,
+    target_accept: float,
+    jitter: float,
+    length: int,
+    adapt_eps: bool,
+    collect_welford: bool,
+):
+    """Jitted PT chunk (scan of HMC sweep + swap sweep) cached on the stable
+    density-split identities (`model_splits`) + static config — the PT
+    counterpart of `chees._build_programs`. The temperature ladder ``betas``
+    is a runtime OPERAND (its length T is read from the operand's static
+    shape), so repeated PT runs — and runs differing only in beta VALUES —
+    reuse the compiled chunk."""
+
+    def chunk_fn(carry: _PTCarry, betas: jax.Array):
+        T = betas.shape[0]
+
+        def one_sweep(carry: _PTCarry):
+            key, k_hmc, k_swap = jax.random.split(carry.key, 3)
+            C = carry.u.shape[1]
+            eps = jnp.exp(
+                carry.da.log_eps if adapt_eps else carry.da.log_eps_avg
+            )
+
+            def rung(q_rung, keys_rung, eps_t, inv_mass_t, beta_t):
+                lg = tempered_logp_and_grad(log_like_fn, log_prior_fn, beta_t)
+                return jax.vmap(
+                    lambda q, k: hmc._hmc_transition(
+                        lg, q, k, eps_t, inv_mass_t, num_steps, jitter
+                    )
+                )(q_rung, keys_rung)
+
+            keys = jax.random.split(k_hmc, T * C).reshape(T, C, -1)
+            u_new, logp_beta, stats = jax.vmap(rung)(
+                carry.u, keys, eps, carry.inv_mass, betas
+            )
+            lp = jax.vmap(jax.vmap(log_prior_fn))(u_new)          # cheap
+            ll_new = (logp_beta - lp) / betas[:, None]
+
+            parity = carry.step % 2
+            (u_new, lp), ll_new, swap_frac = _swap_step(
+                [u_new, lp], ll_new, betas, k_swap, parity
+            )
+
+            pooled_accept = jnp.mean(stats["accept_prob"], axis=1)  # (T,)
+            da_new = (
+                da_update(carry.da, pooled_accept, target=target_accept)
+                if adapt_eps
+                else carry.da
+            )
+            welford = (
+                jax.vmap(welford_update_batch)(carry.welford, u_new)
+                if collect_welford
+                else carry.welford
+            )
+            out = {
+                "u_cold": u_new[0],
+                "log_prob_cold": ll_new[0] + lp[0],  # beta_0=1: full posterior
+                "accept_prob": stats["accept_prob"],  # (T, C)
+                "diverged": stats["diverged"],
+                "swap_frac": swap_frac,               # (T-1,)
+                "eps": eps,
+            }
+            new_carry = _PTCarry(
+                u_new, da_new, welford, carry.inv_mass, carry.step + 1, key
+            )
+            return new_carry, out
+
+        return jax.lax.scan(
+            lambda c, _: one_sweep(c), carry, None, length=length
+        )
+
+    return jax.jit(chunk_fn)
+
+
 def _make_chunk_runner(
     log_like_fn: Callable,
     log_prior_fn: Callable,
@@ -168,84 +248,21 @@ def _make_chunk_runner(
     jitter: float,
     chunk: int = 25,
 ):
-    """Compile-cached chunked scan over PT sweeps (HMC sweep + swap sweep)."""
-    T = betas.shape[0]
-    cache = {}
-
-    def rung_logp_and_grad(beta):
-        return tempered_logp_and_grad(log_like_fn, log_prior_fn, beta)
-
-    def one_sweep(carry: _PTCarry, adapt_eps: bool, collect_welford: bool):
-        key, k_hmc, k_swap = jax.random.split(carry.key, 3)
-        C = carry.u.shape[1]
-        eps = jnp.exp(carry.da.log_eps if adapt_eps else carry.da.log_eps_avg)
-
-        def rung(q_rung, keys_rung, eps_t, inv_mass_t, beta_t):
-            lg = rung_logp_and_grad(beta_t)
-            return jax.vmap(
-                lambda q, k: hmc._hmc_transition(
-                    lg, q, k, eps_t, inv_mass_t, num_steps, jitter
-                )
-            )(q_rung, keys_rung)
-
-        keys = jax.random.split(k_hmc, T * C).reshape(T, C, -1)
-        u_new, logp_beta, stats = jax.vmap(rung)(
-            carry.u, keys, eps, carry.inv_mass, betas
-        )
-        lp = jax.vmap(jax.vmap(log_prior_fn))(u_new)              # cheap
-        ll_new = (logp_beta - lp) / betas[:, None]
-
-        parity = carry.step % 2
-        (u_new, lp), ll_new, swap_frac = _swap_step(
-            [u_new, lp], ll_new, betas, k_swap, parity
-        )
-
-        pooled_accept = jnp.mean(stats["accept_prob"], axis=1)    # (T,)
-        da_new = (
-            da_update(carry.da, pooled_accept, target=target_accept)
-            if adapt_eps
-            else carry.da
-        )
-        welford = (
-            jax.vmap(welford_update_batch)(carry.welford, u_new)
-            if collect_welford
-            else carry.welford
-        )
-        out = {
-            "u_cold": u_new[0],
-            "log_prob_cold": ll_new[0] + lp[0],   # beta_0 = 1: full posterior
-            "accept_prob": stats["accept_prob"],  # (T, C)
-            "diverged": stats["diverged"],
-            "swap_frac": swap_frac,               # (T-1,)
-            "eps": eps,
-        }
-        new_carry = _PTCarry(
-            u_new, da_new, welford, carry.inv_mass, carry.step + 1, key
-        )
-        return new_carry, out
-
-    def get_chunk_fn(length: int, adapt_eps: bool, collect_welford: bool):
-        sig = (length, adapt_eps, collect_welford)
-        if sig not in cache:
-
-            def chunk_fn(carry):
-                return jax.lax.scan(
-                    lambda c, _: one_sweep(c, adapt_eps, collect_welford),
-                    carry,
-                    None,
-                    length=length,
-                )
-
-            cache[sig] = jax.jit(chunk_fn)
-        return cache[sig]
+    """Compile-cached chunked scan over PT sweeps (HMC sweep + swap sweep).
+    Programs come from the GLOBAL `_pt_chunk_program` cache; ``betas`` is
+    passed to each chunk as an operand."""
 
     def run(carry: _PTCarry, length: int, adapt_eps: bool, collect_welford: bool):
         parts = []
         remaining = length
         while remaining > 0:
             n = min(chunk, remaining)
-            fn = get_chunk_fn(n, adapt_eps, collect_welford)
-            carry, outs = fn(carry)
+            fn = _pt_chunk_program(
+                log_like_fn, log_prior_fn, int(num_steps),
+                float(target_accept), float(jitter), n,
+                bool(adapt_eps), bool(collect_welford),
+            )
+            carry, outs = fn(carry, betas)
             parts.append(outs)
             remaining -= n
         if len(parts) > 1:

@@ -125,6 +125,31 @@ def test_stable_fns_cached_per_model_data(rng, key):
     assert c["logp_w"] is not a["logp_w"]
 
 
+def test_pt_and_map_reuse_programs(rng, key):
+    """PT chunk programs and the multi-start MAP optimizer program must be
+    cache HITS on a second invocation over the same (model, data)."""
+    from gptools_tpu.infer import map_fit
+    from gptools_tpu.infer import pt as _pt
+
+    model, data = _problem(rng)
+    k1, k2 = jax.random.split(key)
+    ptkw = dict(num_chains=4, num_samples=30, num_warmup=30, num_temps=3)
+
+    _pt.sample(model, data, k1, **ptkw)
+    mid = _pt._pt_chunk_program.cache_info()
+    _pt.sample(model, data, k2, **ptkw)
+    after = _pt._pt_chunk_program.cache_info()
+    assert after.currsize == mid.currsize
+    assert after.hits > mid.hits
+
+    map_fit.optimize(model, data, k1, random_starts=4, num_steps=30)
+    mid = map_fit._optimizer_program.cache_info()
+    map_fit.optimize(model, data, k2, random_starts=4, num_steps=30)
+    after = map_fit._optimizer_program.cache_info()
+    assert after.currsize == mid.currsize
+    assert after.hits > mid.hits
+
+
 def test_model_splits_cached(rng):
     """pt.model_splits must hand back the same function objects per
     (model, data) so the SMC round program cache can key on them."""
