@@ -73,6 +73,7 @@ def chees_step(
     adapt: bool = True,
     adam_lr: float = 0.025,
     max_steps: int = 1024,
+    cost_normalize: bool = False,
 ):
     """One vectorized ChEES-HMC iteration over all chains.
 
@@ -133,13 +134,33 @@ def chees_step(
     dq0 = state.qs - mean_q
     dq1 = qn_safe - mean_qn
     vel = jnp.where(finite[:, None], pn * inv_mass, 0.0)
-    per_chain = (
-        (jnp.sum(dq1 * dq1, axis=1) - jnp.sum(dq0 * dq0, axis=1))
-        * jnp.sum(dq1 * vel, axis=1)
-    )
+    dsq = jnp.sum(dq1 * dq1, axis=1) - jnp.sum(dq0 * dq0, axis=1)
+    per_chain = dsq * jnp.sum(dq1 * vel, axis=1)
     w = jnp.where(finite, accept_prob, 0.0)
     grad_tau = jnp.sum(w * per_chain) / jnp.maximum(jnp.sum(w), 1e-6)
     grad_tau = jnp.where(jnp.isfinite(grad_tau), grad_tau, 0.0)
+
+    if cost_normalize:
+        # Maximize the ChEES criterion PER UNIT INTEGRATION TIME instead of
+        # per iteration. Plain ChEES lengthens trajectories until the
+        # criterion C(t) = E[(||dq'||^2 - ||dq||^2)^2] stops improving —
+        # but each unit of t costs leapfrogs (gradient evaluations)
+        # linearly, so on accelerators where the gradient IS the wall-clock
+        # the right objective is log C - log t, whose d/dlog tau is the
+        # criterion's ELASTICITY minus one:
+        #     d log(C/t) / d log t = t * C'/C - 1.
+        # Equilibrium at elasticity 1 = the point of diminishing returns
+        # per leapfrog. Measured on the flagship posterior (BASELINE.md r3
+        # tau sweep): plain ChEES converges to tau ~ 10 at 8.7k ESS/s while
+        # tau ~ 2.5-3.3 yields 19-20k ESS/s at the same R-hat gates; this
+        # scheme finds the short-tau optimum automatically.
+        # Using d(D^2)/dt = 4 * per_chain (D = ||dq'||^2 - ||dq||^2) and the
+        # REALIZED integration time t = L * eps (halton-jittered):
+        crit = jnp.sum(w * dsq * dsq) / jnp.maximum(jnp.sum(w), 1e-6)
+        t_real = L.astype(dtype) * eps
+        elasticity = t_real * 4.0 * grad_tau / jnp.maximum(crit, 1e-12)
+        grad_tau = jnp.clip(elasticity - 1.0, -10.0, 10.0)
+        grad_tau = jnp.where(jnp.isfinite(grad_tau), grad_tau, 0.0)
 
     def adam_update(log_tau, m, v, g, t):
         b1, b2, eps_ = 0.9, 0.999, 1e-8
@@ -202,6 +223,8 @@ def _build_programs(
     target_accept: float,
     max_steps: int,
     chunk: int,
+    adam_lr: float,
+    cost_normalize: bool,
 ):
     """Jitted ``(init_fn, chunk_fn)`` programs for `sample`, cached on the
     DENSITY FUNCTION'S IDENTITY plus the static sampler config.
@@ -263,7 +286,9 @@ def _build_programs(
                 inv_mass,
                 target_accept=target_accept,
                 adapt=adapt,
+                adam_lr=adam_lr,
                 max_steps=max_steps,
+                cost_normalize=cost_normalize,
             )
             return s, (q, lp, stats["diverged"], stats["accept_prob"],
                        stats["num_leapfrog"])
@@ -287,6 +312,8 @@ def sample(
     chunk: int = 25,
     logp_batched: Optional[Callable] = None,
     logp_params=None,
+    adam_lr: float = 0.025,
+    cost_normalize: bool = False,
 ) -> SampleResult:
     """Vectorized ChEES-HMC: warmup (eps + tau + optional mass pooled
     adaptation), then frozen sampling. ``u0``: (C, P) initial positions.
@@ -333,6 +360,8 @@ def sample(
         float(target_accept),
         int(max_steps),
         chunk,
+        float(adam_lr),
+        bool(cost_normalize),
     )
 
     def run_chunk(state, adapt):

@@ -230,6 +230,8 @@ def smc_then_chees(
     max_steps: int = 256,
     whiten: bool = True,
     smc_kwargs: Optional[dict] = None,
+    chees_kwargs: Optional[dict] = None,
+    cost_normalize: bool = True,
     mesh=None,
     mesh_axis: Optional[str] = None,
 ) -> SampleResult:
@@ -243,11 +245,19 @@ def smc_then_chees(
     matrix), which shortens trajectories on correlated posteriors. The
     affine map has constant Jacobian, so no density correction is needed.
 
+    ``cost_normalize=True`` (default) adapts the shared trajectory time to
+    maximize the ChEES criterion PER LEAPFROG rather than per iteration —
+    measured 1.5-2x ESS/s on the flagship posterior at identical quality
+    gates (BASELINE.md r3 tau sweep); set False for the plain ChEES rule.
+    May also be overridden via ``chees_kwargs``.
+
     ``mesh``: optional `jax.sharding.Mesh` — SMC particles and ChEES chains
     shard their leading axis over it, with the pooled step-size/tau
     adaptation lowering to cross-device all-reduces (BASELINE config 5).
     """
     sh_chain = _chain_sharding(mesh, mesh_axis, num_chains)
+    ck = {"cost_normalize": cost_normalize}
+    ck.update(chees_kwargs or {})
     k_smc, k_res, k_run = jax.random.split(key, 3)
     smc_res = _smc.sample(
         model, data, k_smc, num_particles=num_particles,
@@ -287,6 +297,7 @@ def smc_then_chees(
             # the model supports it: same values/grads, cheaper per leapfrog
             logp_batched=fns["logp_w_batched"],
             logp_params=(mu, C),
+            **ck,
         )
         res = res._replace(u=_unwhiten_samples(C, mu, res.u))
     else:
@@ -303,6 +314,7 @@ def smc_then_chees(
             max_steps=max_steps,
             logp_batched=fns["logp_u_batched"],
             logp_params=(),
+            **ck,
         )
 
     thetas = _embed2(model)(res.u)

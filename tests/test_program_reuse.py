@@ -76,6 +76,8 @@ def test_pipeline_reuses_compiled_programs(rng, key):
         0.75,
         RUN_KW.get("max_steps", 256),
         25,
+        0.025,
+        False,
     )
     for f in (init_fn, chunk_fn):
         if hasattr(f, "_cache_size"):
