@@ -11,6 +11,7 @@ fit is a single fused scan on-chip.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -29,6 +30,63 @@ class ADVIResult(NamedTuple):
     chol_offdiag: jax.Array = None  # strictly-lower factor entries (full-rank)
 
 
+@functools.lru_cache(maxsize=64)
+def _fit_program(
+    logp, num_steps: int, num_elbo_samples: int, learning_rate: float,
+    full_rank: bool,
+):
+    """Jitted ELBO-maximization scan cached on the density function's
+    identity + static config (the `infer.model_logp` reuse contract — see
+    `chees._build_programs`). Takes (u0, key), returns (params, elbos);
+    the dimension is read from u0's static shape at trace time."""
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def run(u0, key):
+        nf = u0.shape[0]
+        params = {
+            "mu": u0,
+            "log_sigma": jnp.full((nf,), -2.0, u0.dtype),
+        }
+        if full_rank:
+            params["off"] = jnp.zeros((nf * (nf - 1) // 2,), u0.dtype)
+            tril_r, tril_c = jnp.tril_indices(nf, k=-1)
+
+        def neg_elbo(params, key):
+            z = jax.random.normal(key, (num_elbo_samples, nf), u0.dtype)
+            if full_rank:
+                L = jnp.diag(jnp.exp(params["log_sigma"]))
+                L = L.at[tril_r, tril_c].set(params["off"])
+                us = params["mu"] + z @ L.T
+            else:
+                us = params["mu"] + jnp.exp(params["log_sigma"]) * z
+            lps = jax.vmap(logp)(us)
+            lps = jnp.where(jnp.isfinite(lps), lps, -1e30)
+            # entropy of N(mu, L L^T): sum log diag L + const
+            entropy = jnp.sum(params["log_sigma"]) + 0.5 * nf * (
+                1.0 + jnp.log(2.0 * jnp.pi)
+            )
+            return -(jnp.mean(lps) + entropy)
+
+        def step(carry, key):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(neg_elbo)(params, key)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), -loss
+
+        keys = jax.random.split(key, num_steps)
+        (params, _), elbos = jax.lax.scan(
+            step, (params, opt.init(params)), keys
+        )
+        return params, elbos
+
+    return run
+
+
 def fit(
     model,
     data,
@@ -40,54 +98,14 @@ def fit(
 ) -> ADVIResult:
     """Fit q(u) = N(mu, Sigma) maximizing the ELBO; ``full_rank=False`` uses
     Sigma = diag(sigma^2), ``True`` a dense Cholesky factor."""
-    nf = model.num_free_params
-
-    def logp(u):
-        return model.log_posterior_u(u, data)
+    from gptools_tpu.infer import model_logp  # circular-safe
 
     u0 = model.u_of_theta(jnp.asarray(model.initial_params))
-    params = {
-        "mu": u0,
-        "log_sigma": jnp.full((nf,), -2.0, u0.dtype),
-    }
-    if full_rank:
-        params["off"] = jnp.zeros((nf * (nf - 1) // 2,), u0.dtype)
-        tril_r, tril_c = jnp.tril_indices(nf, k=-1)
-    opt = optax.adam(learning_rate)
-
-    def _chol(params):
-        L = jnp.diag(jnp.exp(params["log_sigma"]))
-        if full_rank:
-            L = L.at[tril_r, tril_c].set(params["off"])
-        return L
-
-    def neg_elbo(params, key):
-        z = jax.random.normal(key, (num_elbo_samples, nf), u0.dtype)
-        if full_rank:
-            L = _chol(params)
-            us = params["mu"] + z @ L.T
-        else:
-            us = params["mu"] + jnp.exp(params["log_sigma"]) * z
-        lps = jax.vmap(logp)(us)
-        lps = jnp.where(jnp.isfinite(lps), lps, -1e30)
-        # entropy of N(mu, L L^T): sum log diag L + const
-        entropy = jnp.sum(params["log_sigma"]) + 0.5 * nf * (
-            1.0 + jnp.log(2.0 * jnp.pi)
-        )
-        return -(jnp.mean(lps) + entropy)
-
-    def step(carry, key):
-        params, opt_state = carry
-        loss, grads = jax.value_and_grad(neg_elbo)(params, key)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-        )
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), -loss
-
-    keys = jax.random.split(key, num_steps)
-    (params, _), elbos = jax.lax.scan(step, (params, opt.init(params)), keys)
+    run = _fit_program(
+        model_logp(model, data), int(num_steps), int(num_elbo_samples),
+        float(learning_rate), bool(full_rank),
+    )
+    params, elbos = run(u0, key)
     return ADVIResult(
         mu=params["mu"],
         log_sigma=params["log_sigma"],
