@@ -63,6 +63,13 @@ def run_sampler(
     if sampler in ("nuts", "hmc", "chees"):
         u0 = _initial_positions(model, k_init, num_chains, init)
         mod = {"nuts": nuts, "hmc": hmc, "chees": chees}[sampler]
+        if sampler == "chees" and "logp_batched" not in kwargs:
+            # chains-minor batched evidence when the model supports it —
+            # same speedup the pipeline gets (cached per model/data so the
+            # compiled-program cache keys stay stable)
+            batched = _model_logp_batched(model, data)
+            if batched is not None:
+                kwargs = dict(kwargs, logp_batched=batched)
         result = mod.sample(
             logp,
             u0,
@@ -133,6 +140,25 @@ def model_logp(model, data):
 
     cache[id(data)] = (data, logp)
     return logp
+
+
+def _model_logp_batched(model, data):
+    """Stable-identity chains-minor batched density per (model, data), or
+    None when the model/data combination has no batched path."""
+    if not model._batch_supported(data):
+        return None
+    cache = model.__dict__.setdefault("_model_logp_batched_cache", {})
+    entry = cache.get(id(data))
+    if entry is not None and entry[0] is data:
+        return entry[1]
+    if len(cache) > 8:
+        cache.clear()
+
+    def logp_batched(us):
+        return model.log_posterior_u_batch(us, data)
+
+    cache[id(data)] = (data, logp_batched)
+    return logp_batched
 
 
 def _initial_positions(model, key, num_chains, init):
