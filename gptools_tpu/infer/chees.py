@@ -74,6 +74,7 @@ def chees_step(
     adam_lr: float = 0.025,
     max_steps: int = 1024,
     cost_normalize: bool = False,
+    cost_elasticity=1.0,
 ):
     """One vectorized ChEES-HMC iteration over all chains.
 
@@ -156,10 +157,16 @@ def chees_step(
         # scheme finds the short-tau optimum automatically.
         # Using d(D^2)/dt = 4 * per_chain (D = ||dq'||^2 - ||dq||^2) and the
         # REALIZED integration time t = L * eps (halton-jittered):
+        # ``cost_elasticity`` is the equilibrium target (a runtime scalar so
+        # one compiled program serves any value): 1.0 is the exact C/t
+        # stationary point; the production default is CALIBRATED on hardware
+        # (BASELINE.md r3 elasticity sweep) because the ChEES criterion is a
+        # proxy for ESS — its elasticity-1 point sits slightly below the
+        # measured ESS-per-leapfrog optimum on the flagship posterior.
         crit = jnp.sum(w * dsq * dsq) / jnp.maximum(jnp.sum(w), 1e-6)
         t_real = L.astype(dtype) * eps
         elasticity = t_real * 4.0 * grad_tau / jnp.maximum(crit, 1e-12)
-        grad_tau = jnp.clip(elasticity - 1.0, -10.0, 10.0)
+        grad_tau = jnp.clip(elasticity - cost_elasticity, -10.0, 10.0)
         grad_tau = jnp.where(jnp.isfinite(grad_tau), grad_tau, 0.0)
 
     def adam_update(log_tau, m, v, g, t):
@@ -179,12 +186,14 @@ def chees_step(
     log_tau_upd, m_upd, v_upd = adam_update(
         state.log_tau, state.adam_m, state.adam_v, norm_g, t_f
     )
-    # keep tau within sane bounds relative to eps
-    log_tau_upd = jnp.clip(
-        log_tau_upd,
-        jnp.log(eps),
-        jnp.log(eps * max_steps),
-    )
+    # keep tau within sane STATIC bounds. An earlier revision clipped to
+    # [log eps, log(eps*max_steps)] with the CURRENT (still-adapting) eps:
+    # a transient dual-averaging overshoot of eps then permanently RATCHETED
+    # tau upward through the lower clip (observed at the bench shapes:
+    # tau0=2.0 with adam_lr=0 ended at tau=3.45 = the warmup eps peak;
+    # BASELINE.md r3). Static bounds avoid that; the realized cost is
+    # already capped by L <= max_steps, and tau < eps just means L = 1.
+    log_tau_upd = jnp.clip(log_tau_upd, jnp.log(1e-3), jnp.log(1e4))
     da_upd = _hmc.da_update(
         state.da, jnp.mean(accept_prob), target=target_accept
     )
@@ -278,7 +287,7 @@ def _build_programs(
         )
 
     @jax.jit
-    def chunk_fn(state, params, inv_mass, adapt):
+    def chunk_fn(state, params, inv_mass, adapt, cost_target):
         def body(s, _):
             s, (q, lp, stats) = chees_step(
                 lambda qs: logp_and_grad(qs, params),
@@ -289,6 +298,7 @@ def _build_programs(
                 adam_lr=adam_lr,
                 max_steps=max_steps,
                 cost_normalize=cost_normalize,
+                cost_elasticity=cost_target,
             )
             return s, (q, lp, stats["diverged"], stats["accept_prob"],
                        stats["num_leapfrog"])
@@ -314,6 +324,7 @@ def sample(
     logp_params=None,
     adam_lr: float = 0.025,
     cost_normalize: bool = False,
+    cost_elasticity: float = 1.0,
 ) -> SampleResult:
     """Vectorized ChEES-HMC: warmup (eps + tau + optional mass pooled
     adaptation), then frozen sampling. ``u0``: (C, P) initial positions.
@@ -364,8 +375,10 @@ def sample(
         bool(cost_normalize),
     )
 
+    cost_t = jnp.asarray(cost_elasticity, dtype)
+
     def run_chunk(state, adapt):
-        return chunk_fn(state, params, inv_mass, adapt)
+        return chunk_fn(state, params, inv_mass, adapt, cost_t)
 
     eps0_arr = jnp.asarray(eps0, dtype)
     tau0_arr = jnp.asarray(tau_init, dtype)
@@ -404,6 +417,7 @@ def sample(
             _zeros_like_struct(params),
             jnp.zeros_like(inv_mass),
             jnp.zeros((), jnp.int32),
+            jnp.zeros((), dtype),
         )
 
         def _warm():

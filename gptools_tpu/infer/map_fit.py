@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 __all__ = ["MAPResult", "optimize"]
@@ -107,8 +108,37 @@ def optimize(
 
     nf = model.num_free_params
 
-    k_draw, _ = jax.random.split(key)
+    k_draw, k_log = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_draw, (random_starts,))
+    # The reference drew every start uniformly from the hyperprior
+    # (gptools/core.py :: optimize_hyperparameters). With the default wide
+    # uniform bounds (e.g. (1e-4, 1e4)) a LINEAR-uniform draw puts nearly
+    # every start on the flat huge-lengthscale plateau, where all of them
+    # converge to the same degenerate mode (observed: a 12-point sine fit
+    # MAP-ing to lengthscale ~5e3 and predicting the data mean everywhere).
+    # Re-spread half the starts LOG-uniformly across their bounds when a
+    # parameter's scale spans >= 2 decades — a start-placement heuristic
+    # only; the MAP objective (posterior incl. hyperprior) is unchanged.
+    try:
+        bounds = np.asarray(
+            [tuple(b) for b in model.param_bounds], dtype=np.float64
+        )
+    except Exception:
+        bounds = None
+    if bounds is not None and random_starts >= 2:
+        lo, hi = bounds[:, 0], bounds[:, 1]
+        log_spread = (lo > 0.0) & (hi / np.maximum(lo, 1e-300) >= 1e2)
+        if log_spread.any():
+            n_log = random_starts // 2
+            draw = jax.random.uniform(
+                k_log, (n_log, bounds.shape[0]), thetas0.dtype
+            )
+            log_lo = jnp.log(jnp.where(log_spread, lo, 1.0))
+            log_hi = jnp.log(jnp.where(log_spread, hi, 1.0))
+            log_draws = jnp.exp(log_lo + draw * (log_hi - log_lo))
+            thetas0 = thetas0.at[:n_log].set(
+                jnp.where(log_spread[None, :], log_draws, thetas0[:n_log])
+            )
     u_of_theta = model.__dict__.get("_u_of_theta_jit")
     if u_of_theta is None:
         u_of_theta = jax.jit(jax.vmap(model.u_of_theta))

@@ -232,6 +232,7 @@ def smc_then_chees(
     smc_kwargs: Optional[dict] = None,
     chees_kwargs: Optional[dict] = None,
     cost_normalize: bool = True,
+    cost_elasticity: float = 0.6,
     mesh=None,
     mesh_axis: Optional[str] = None,
 ) -> SampleResult:
@@ -249,14 +250,20 @@ def smc_then_chees(
     maximize the ChEES criterion PER LEAPFROG rather than per iteration —
     measured 1.5-2x ESS/s on the flagship posterior at identical quality
     gates (BASELINE.md r3 tau sweep); set False for the plain ChEES rule.
-    May also be overridden via ``chees_kwargs``.
+    ``cost_elasticity`` is the equilibrium target of that rule: 1.0 is the
+    exact criterion-per-time stationary point; the default is calibrated on
+    hardware against a fixed-tau ESS/s sweep (the ChEES criterion is a
+    proxy for ESS, and its elasticity-1 point lands slightly short of the
+    measured ESS-per-leapfrog optimum — BASELINE.md r3 elasticity sweep).
+    Both may also be overridden via ``chees_kwargs``.
 
     ``mesh``: optional `jax.sharding.Mesh` — SMC particles and ChEES chains
     shard their leading axis over it, with the pooled step-size/tau
     adaptation lowering to cross-device all-reduces (BASELINE config 5).
     """
     sh_chain = _chain_sharding(mesh, mesh_axis, num_chains)
-    ck = {"cost_normalize": cost_normalize}
+    ck = {"cost_normalize": cost_normalize,
+          "cost_elasticity": cost_elasticity}
     ck.update(chees_kwargs or {})
     k_smc, k_res, k_run = jax.random.split(key, 3)
     smc_res = _smc.sample(

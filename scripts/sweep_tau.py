@@ -29,7 +29,12 @@ def main():
     ap.add_argument("--chains", type=int, default=12288)
     ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--samples", type=int, default=300)
-    ap.add_argument("--adaptive-too", action="store_true", default=True)
+    ap.add_argument("--adaptive-too", action=argparse.BooleanOptionalAction,
+                    default=True)
+    ap.add_argument("--elasticities", type=float, nargs="*", default=[],
+                    help="cost-normalized ChEES equilibrium targets to "
+                    "sweep (cost_elasticity is a runtime operand: all "
+                    "values share one compiled program)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +75,8 @@ def main():
         return out
 
     # priming at tiny lengths compiles both programs (fixed + adaptive)
-    run(0, {"adam_lr": 0.0, "tau0": 5.0}, "prime_fixed")
+    if args.taus:
+        run(0, {"adam_lr": 0.0, "tau0": 5.0}, "prime_fixed")
     if args.adaptive_too:
         run(0, {}, "prime_adaptive")
 
@@ -80,6 +86,10 @@ def main():
     if args.adaptive_too:
         for seed in args.seeds:
             run(seed, {}, "adaptive")
+    for beta in args.elasticities:
+        for seed in args.seeds:
+            run(seed, {"cost_elasticity": float(beta)},
+                f"elasticity={beta}")
 
 
 if __name__ == "__main__":

@@ -147,6 +147,30 @@ def test_frozen_predictors_match_live(rng, key):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
 
 
+def test_default_bounds_map_escapes_plateau(rng, key):
+    """Multi-start MAP with the DEFAULT uninformative kernel (uniform bounds
+    (1e-4, 1e4)) must recover structure, not the data mean.
+
+    Regression: linear-uniform prior draws put essentially every start on
+    the flat huge-lengthscale plateau (P ~ 0.995 per start), so all starts
+    converged to the same degenerate mode (lengthscale ~5e3, constant-mean
+    prediction). `infer.map_fit.optimize` now re-spreads half the starts
+    log-uniformly across bounds spanning >= 2 decades.
+    """
+    gp = GaussianProcess(SquaredExponentialKernel())  # default wide bounds
+    X = np.linspace(0, 1, 12)
+    y = np.sin(2 * np.pi * X) + 0.05 * rng.standard_normal(12)
+    gp.add_data(X, y, err_y=0.05)
+    gp.optimize_hyperparameters(random_starts=8, key=key, num_steps=80)
+    xs = np.array([0.25, 0.75])
+    yhat, _ = gp.predict(xs)
+    # the degenerate mode predicts ~mean(y)~0 everywhere; the real fit
+    # tracks the sine (+1/-1 at the probe points)
+    assert float(yhat[0]) > 0.5 and float(yhat[1]) < -0.5
+    # and the fitted lengthscale is physical, not the plateau
+    assert float(gp.params[1]) < 10.0
+
+
 def test_reference_attribute_views(rng):
     gp, X, y = _gp(rng)
     gp.update_hyperparameters(jnp.array([1.0, 0.5]))
