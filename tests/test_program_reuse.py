@@ -69,6 +69,10 @@ def test_pipeline_reuses_compiled_programs(rng, key):
     # and the jitted programs saw ONE aval signature across both runs (no
     # silent retrace from e.g. weak-vs-strong dtype drift in the operands)
     fns = model.__dict__["_pipeline_fn_cache"][id(data)]
+    # same key the pipeline used (cost_normalize=True is the pipeline
+    # default since the cost-normalized adaptation landed) — a mismatched
+    # key here would build a fresh, never-executed program pair and make
+    # the aval-stability check below vacuous-and-failing
     init_fn, chunk_fn = _chees._build_programs(
         fns["logp_w_batched"] or fns["logp_w"],
         fns["logp_w_batched"] is not None,
@@ -77,7 +81,7 @@ def test_pipeline_reuses_compiled_programs(rng, key):
         RUN_KW.get("max_steps", 256),
         25,
         0.025,
-        False,
+        True,
     )
     for f in (init_fn, chunk_fn):
         if hasattr(f, "_cache_size"):
