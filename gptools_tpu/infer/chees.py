@@ -308,6 +308,89 @@ def _build_programs(
     return init_fn, chunk_fn
 
 
+def prewarm(
+    logp: Callable,
+    num_chains: int,
+    num_params: int,
+    dtype,
+    logp_batched: Optional[Callable] = None,
+    params_struct=None,
+    target_accept: float = 0.75,
+    max_steps: int = 1024,
+    chunk: int = 25,
+    adam_lr: float = 0.025,
+    cost_normalize: bool = False,
+) -> Callable[[], None]:
+    """Compile `sample`'s (init, chunk) programs in BACKGROUND threads.
+
+    Call at pipeline start so the dominant XLA compiles overlap earlier
+    pipeline stages (the SMC run + its own compile) instead of serializing
+    after them — the bench's one-time wall is compile-dominated
+    (BASELINE.md r3 stage profile). Shapes/dtypes/static config must match
+    the later `sample` call exactly; a mismatch is harmless (the warm cache
+    entry is simply never hit). The dummy operands are plain UNCOMMITTED
+    zeros for the same reason as `sample`'s own warm thread (committed
+    dummies would compile into a separate jit cache entry). Best-effort:
+    every failure is swallowed. Returns a 0-arg join handle — call it
+    before `sample` so the real call never compiles concurrently with a
+    still-running warm thread.
+    """
+    try:
+        takes_params = params_struct is not None
+        init_fn, chunk_fn = _build_programs(
+            logp_batched if logp_batched is not None else logp,
+            logp_batched is not None,
+            takes_params,
+            float(target_accept),
+            int(max_steps),
+            max(1, int(chunk)),
+            float(adam_lr),
+            bool(cost_normalize),
+        )
+        if getattr(chunk_fn, "_cache_size", lambda: 1)() > 0:
+            return lambda: None
+
+        def _zeros(tree):
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
+            )
+
+        u0 = jnp.zeros((num_chains, num_params), dtype)
+        params = _zeros(params_struct) if takes_params else ()
+        key = jax.random.PRNGKey(0)
+        scalar = jnp.zeros((), dtype)
+        inv_mass = jnp.zeros((num_params,), dtype)
+        init_args = (u0, params, key, scalar, scalar)
+        # trace on THIS thread (cheap); the threads only compile + run
+        state_sds = jax.eval_shape(init_fn, *init_args)
+        chunk_args = (
+            _zeros(state_sds), params, inv_mass,
+            jnp.zeros((), jnp.int32), scalar,
+        )
+
+        def _spawn(fn, args):
+            def run():
+                try:
+                    out = fn(*args)
+                    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+                except Exception:
+                    pass  # warming is an optimization, never a failure source
+
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            return t
+
+        threads = [_spawn(init_fn, init_args), _spawn(chunk_fn, chunk_args)]
+
+        def join():
+            for t in threads:
+                t.join()
+
+        return join
+    except Exception:
+        return lambda: None
+
+
 def sample(
     logp: Callable,
     u0: jax.Array,

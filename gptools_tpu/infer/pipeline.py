@@ -265,6 +265,32 @@ def smc_then_chees(
     ck = {"cost_normalize": cost_normalize,
           "cost_elasticity": cost_elasticity}
     ck.update(chees_kwargs or {})
+    fns = _stable_fns(model, data)
+    # Overlap the sampler's XLA compiles with the whole SMC stage: the
+    # (init, chunk) programs depend only on shapes/config known HERE, not
+    # on SMC's output (run-specific whitening moments are runtime
+    # operands). First pipeline call on a (model, data): both big compiles
+    # proceed in background threads while SMC compiles + runs on this one.
+    warm_join = None
+    if mesh is None and whiten:
+        P = model.num_free_params
+        dtype = jnp.zeros((), float).dtype  # matches default particle dtype
+        warm_join = _chees.prewarm(
+            fns["logp_w"],
+            num_chains,
+            P,
+            dtype,
+            logp_batched=fns["logp_w_batched"],
+            params_struct=(
+                jax.ShapeDtypeStruct((P,), dtype),
+                jax.ShapeDtypeStruct((P, P), dtype),
+            ),
+            target_accept=ck.get("target_accept", target_accept),
+            max_steps=ck.get("max_steps", max_steps),
+            chunk=ck.get("chunk", 25),
+            adam_lr=ck.get("adam_lr", 0.025),
+            cost_normalize=ck.get("cost_normalize", False),
+        )
     k_smc, k_res, k_run = jax.random.split(key, 3)
     smc_res = _smc.sample(
         model, data, k_smc, num_particles=num_particles,
@@ -276,10 +302,9 @@ def smc_then_chees(
     if sh_chain is not None:
         u0 = jax.device_put(u0, sh_chain)
 
-    # stable per-(model, data) closures; run-specific whitening moments go
-    # through the sampler's logp_params operand so repeated pipeline calls
-    # reuse the compiled sampler programs (chees._build_programs)
-    fns = _stable_fns(model, data)
+    # run-specific whitening moments go through the sampler's logp_params
+    # operand so repeated pipeline calls reuse the compiled sampler
+    # programs (chees._build_programs; `fns` built before the SMC stage)
     if whiten:
         mu = jnp.mean(particles, axis=0)
         P = particles.shape[1]
@@ -291,6 +316,8 @@ def smc_then_chees(
         # (replicated output), making the mesh a no-op for the sampler stage.
         if sh_chain is not None:
             v0 = jax.device_put(v0, sh_chain)
+        if warm_join is not None:
+            warm_join()  # never compile concurrently with the warm threads
         res = _chees.sample(
             fns["logp_w"],
             v0,

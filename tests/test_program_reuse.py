@@ -96,6 +96,30 @@ def test_pipeline_reuses_compiled_programs(rng, key):
     np.testing.assert_allclose(m1, m2, rtol=0.25)
 
 
+def test_pipeline_prewarm_single_aval(rng, key):
+    """The pipeline's pre-SMC compile overlap (`chees.prewarm`) must build
+    EXACTLY the programs the real sampler call uses: after one pipeline
+    run, both jitted programs hold a single aval signature (the prewarmed
+    executables were hit, not shadowed by a second compile from a
+    dummy-operand aval mismatch)."""
+    model, data = _problem(rng)
+    smc_then_chees(model, data, key, **RUN_KW)
+    fns = model.__dict__["_pipeline_fn_cache"][id(data)]
+    init_fn, chunk_fn = _chees._build_programs(
+        fns["logp_w_batched"] or fns["logp_w"],
+        fns["logp_w_batched"] is not None,
+        True,
+        0.75,
+        RUN_KW.get("max_steps", 256),
+        25,
+        0.025,
+        True,
+    )
+    for f in (init_fn, chunk_fn):
+        if hasattr(f, "_cache_size"):
+            assert f._cache_size() == 1
+
+
 def test_nuts_pipeline_reuses_window_programs(rng, key):
     """smc_then_nuts must hit the global HMC/NUTS window-program cache on
     the second call (hmc._window_program), with whitening moments flowing
