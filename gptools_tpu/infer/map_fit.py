@@ -127,7 +127,14 @@ def optimize(
         bounds = None
     if bounds is not None and random_starts >= 2:
         lo, hi = bounds[:, 0], bounds[:, 1]
-        log_spread = (lo > 0.0) & (hi / np.maximum(lo, 1e-300) >= 1e2)
+        # np.isfinite(hi): an unbounded upper bound would put log_hi = inf
+        # and silently waste the re-spread half of the start budget on
+        # inf/NaN starts (masked later, but never useful).
+        log_spread = (
+            (lo > 0.0)
+            & np.isfinite(hi)
+            & (hi / np.maximum(lo, 1e-300) >= 1e2)
+        )
         if log_spread.any():
             n_log = random_starts // 2
             draw = jax.random.uniform(

@@ -251,11 +251,15 @@ def smc_then_chees(
     measured 1.5-2x ESS/s on the flagship posterior at identical quality
     gates (BASELINE.md r3 tau sweep); set False for the plain ChEES rule.
     ``cost_elasticity`` is the equilibrium target of that rule: 1.0 is the
-    exact criterion-per-time stationary point; the default is calibrated on
-    hardware against a fixed-tau ESS/s sweep (the ChEES criterion is a
-    proxy for ESS, and its elasticity-1 point lands slightly short of the
-    measured ESS-per-leapfrog optimum — BASELINE.md r3 elasticity sweep).
-    Both may also be overridden via ``chees_kwargs``.
+    exact criterion-per-time stationary point; the default 0.6 is calibrated
+    on hardware against a fixed-tau ESS/s sweep OF THE FLAGSHIP POSTERIOR
+    (BASELINE.json config 4 — the ChEES criterion is a proxy for ESS, and
+    its elasticity-1 point lands slightly short of the measured
+    ESS-per-leapfrog optimum there; BASELINE.md r3 elasticity sweep). The
+    calibration is posterior-specific: on a markedly different target,
+    sweep it (`scripts/sweep_tau.py --elasticities`) or pass 1.0 via
+    ``chees_kwargs`` for the theoretically motivated equilibrium. Both may
+    be overridden via ``chees_kwargs``.
 
     ``mesh``: optional `jax.sharding.Mesh` — SMC particles and ChEES chains
     shard their leading axis over it, with the pooled step-size/tau
@@ -265,6 +269,11 @@ def smc_then_chees(
     ck = {"cost_normalize": cost_normalize,
           "cost_elasticity": cost_elasticity}
     ck.update(chees_kwargs or {})
+    # Keys the _chees.sample calls below pass EXPLICITLY must be popped out
+    # of ck, or supplying them via chees_kwargs raises "got multiple values";
+    # popping also keeps prewarm and the real call consistent.
+    target_accept = ck.pop("target_accept", target_accept)
+    max_steps = ck.pop("max_steps", max_steps)
     fns = _stable_fns(model, data)
     # Overlap the sampler's XLA compiles with the whole SMC stage: the
     # (init, chunk) programs depend only on shapes/config known HERE, not
@@ -285,11 +294,11 @@ def smc_then_chees(
                 jax.ShapeDtypeStruct((P,), dtype),
                 jax.ShapeDtypeStruct((P, P), dtype),
             ),
-            target_accept=ck.get("target_accept", target_accept),
-            max_steps=ck.get("max_steps", max_steps),
+            target_accept=target_accept,
+            max_steps=max_steps,
             chunk=ck.get("chunk", 25),
             adam_lr=ck.get("adam_lr", 0.025),
-            cost_normalize=ck.get("cost_normalize", False),
+            cost_normalize=ck["cost_normalize"],
         )
     k_smc, k_res, k_run = jax.random.split(key, 3)
     smc_res = _smc.sample(
@@ -325,7 +334,7 @@ def smc_then_chees(
             num_warmup=num_warmup,
             num_samples=num_samples,
             target_accept=target_accept,
-            eps0=0.3,
+            eps0=ck.pop("eps0", 0.3),
             max_steps=max_steps,
             # chains-minor batched density (ops/evidence.py :: loglik_b) when
             # the model supports it: same values/grads, cheaper per leapfrog

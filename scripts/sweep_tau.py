@@ -74,10 +74,13 @@ def main():
         print(json.dumps(out), flush=True)
         return out
 
-    # priming at tiny lengths compiles both programs (fixed + adaptive)
+    # priming at tiny lengths compiles both programs (fixed + adaptive).
+    # Elasticity runs share the adaptive program (cost_elasticity is a
+    # runtime operand), so they need the adaptive prime too — without it
+    # the first elasticity measurement would eat the one-time compile wall.
     if args.taus:
         run(0, {"adam_lr": 0.0, "tau0": 5.0}, "prime_fixed")
-    if args.adaptive_too:
+    if args.adaptive_too or args.elasticities:
         run(0, {}, "prime_adaptive")
 
     for tau in args.taus:

@@ -120,6 +120,23 @@ def test_pipeline_prewarm_single_aval(rng, key):
             assert f._cache_size() == 1
 
 
+def test_chees_kwargs_can_override_explicit_args(rng, key):
+    """target_accept / max_steps / eps0 supplied via chees_kwargs must reach
+    the sampler instead of raising TypeError("got multiple values") — the
+    pipeline pops them out of the kwargs dict before the explicit call
+    (regression: the old ck.get path codified an override that could never
+    execute)."""
+    model, data = _problem(rng)
+    res = smc_then_chees(
+        model, data, key,
+        chees_kwargs={"target_accept": 0.9, "max_steps": 64, "eps0": 0.2},
+        **RUN_KW,
+    )
+    # the override actually took effect: pooled dual averaging drives the
+    # realized acceptance toward the requested (stricter) target
+    assert float(res.diagnostics["mean_accept"]) > 0.75
+
+
 def test_nuts_pipeline_reuses_window_programs(rng, key):
     """smc_then_nuts must hit the global HMC/NUTS window-program cache on
     the second call (hmc._window_program), with whitening moments flowing
