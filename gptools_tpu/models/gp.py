@@ -49,6 +49,14 @@ __all__ = ["GPModel", "GaussianProcess", "Prediction"]
 # and update this constant if the kernels or hardware change.
 _MEASURED_AUTO_BACKEND = "fused"
 
+# evidence_backend="auto" resolution for the BATCHED sampler hot path
+# (log_marginal_batch): "fused_pallas" routes the whole evidence
+# value-and-gradient through the single VMEM-resident Pallas kernel
+# (ops/evidence_pallas.py) on a single TPU device; anything else uses the
+# chains-minor XLA path (ops/evidence.py :: loglik_b). Set from on-chip
+# measurement (scripts/bench_soa.py) like _MEASURED_AUTO_BACKEND above.
+_MEASURED_EVIDENCE_AUTO_TPU = "fused_pallas"
+
 
 class Prediction(NamedTuple):
     """Posterior predictive summary (reference ``predict`` return tuple)."""
@@ -84,6 +92,7 @@ class GPModel:
         diag_factor: float = 1e2,
         solve_dtype=None,
         cov_backend: str = "auto",
+        evidence_backend: str = "auto",
     ):
         self.kernel = kernel
         self.noise_kernel = noise_kernel
@@ -93,6 +102,9 @@ class GPModel:
         if cov_backend not in ("auto", "generic", "fused", "pallas"):
             raise ValueError(f"unknown cov_backend {cov_backend!r}")
         self.cov_backend = cov_backend
+        if evidence_backend not in ("auto", "xla", "fused_pallas"):
+            raise ValueError(f"unknown evidence_backend {evidence_backend!r}")
+        self.evidence_backend = evidence_backend
 
         sizes = [kernel.num_params]
         sizes.append(noise_kernel.num_params if noise_kernel else 0)
@@ -342,6 +354,71 @@ class GPModel:
             self.kernel, data.multi_indices, data.num_dim
         ) and not self.kernel.delta_terms()
 
+    def _pallas_evidence_fn(self, data: Dataset):
+        """Resolve the batched evidence to the single fused Pallas kernel
+        (ops/evidence_pallas.py) when eligible, else None (XLA path).
+
+        Eligibility: flagship kernel (SE / Gibbs-tanh), no noise kernel /
+        mean / transform, small N, concrete data (the kernel bakes X, y,
+        err^2 as constants — the same per-(model, data) program-caching
+        contract as the density closures), and a single-TPU-device runtime
+        under "auto" (no GSPMD partitioning rules are registered for the
+        opaque kernel, so a sharded chain axis must use the XLA path).
+        """
+        backend = self.evidence_backend
+        if backend == "auto":
+            if jax.default_backend() == "tpu" and jax.device_count() == 1:
+                backend = _MEASURED_EVIDENCE_AUTO_TPU
+            else:
+                backend = "xla"
+        if backend != "fused_pallas":
+            return None
+        if (
+            self.noise_kernel is not None
+            or self.mean is not None
+            or data.T is not None
+            or self.solve_dtype is not None
+        ):
+            return None
+        cache = self.__dict__.setdefault("_pallas_evidence_cache", {})
+        hit = cache.get(id(data))
+        if hit is not None and hit[0] is data:
+            return hit[1]
+        from gptools_tpu.ops import evidence_pallas
+        from gptools_tpu.ops.kernels import (
+            GibbsKernel,
+            SquaredExponentialKernel,
+            TanhWarp,
+        )
+
+        if type(self.kernel) is SquaredExponentialKernel:
+            kind = "se"
+        elif isinstance(self.kernel, GibbsKernel) and type(self.kernel.warp) is TanhWarp:
+            kind = "gibbs_tanh"
+        else:
+            return None
+        if isinstance(data.Xf, jax.core.Tracer):
+            return None
+        n = int(np.asarray(data.Xf).reshape(-1).shape[0])
+        if not evidence_pallas.supported(kind, n):
+            return None
+        from gptools_tpu.ops.fused import _order_ids
+
+        fn = evidence_pallas.make_loglik_theta(
+            kind,
+            np.asarray(data.Xf),
+            np.asarray(_order_ids(np.asarray(data.nid), data.multi_indices)),
+            np.asarray(data.y),
+            np.asarray(data.err_y) ** 2,
+            self.diag_factor,
+            # explicit "fused_pallas" off-TPU (tests) runs interpreted
+            interpret=jax.default_backend() != "tpu",
+        )
+        if len(cache) > 8:
+            cache.clear()
+        cache[id(data)] = (data, fn)
+        return fn
+
     def log_marginal_batch(self, thetas: jax.Array, data: Dataset) -> jax.Array:
         """Batched log marginal likelihood: thetas (C, P) -> (C,).
 
@@ -358,6 +435,9 @@ class GPModel:
             return jax.vmap(lambda t: self.log_marginal(t, data))(thetas)
         self._check_matern_nu_support(data)
         thetaT_k = self._theta_k(thetas.T)  # (Pk, C) slice of (P, C)
+        ev_fn = self._pallas_evidence_fn(data)
+        if ev_fn is not None:
+            return ev_fn(thetaT_k)
         Kff = fused.flagship_cov_soa(
             self.kernel, thetaT_k, data.Xf, data.nid, data.multi_indices
         )  # (N, N, C)

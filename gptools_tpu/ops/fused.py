@@ -18,8 +18,11 @@ tests/test_pallas.py and tests/test_fused.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "se_blocks",
@@ -29,10 +32,18 @@ __all__ = [
     "gibbs_tanh_cov_fused",
     "se_cov_fused_soa",
     "gibbs_tanh_cov_fused_soa",
+    "se_cov_fused_soa_sym",
+    "gibbs_tanh_cov_fused_soa_sym",
     "fused_supported",
     "flagship_cov",
     "flagship_cov_soa",
 ]
+
+# Chains-minor builders compute only the upper triangle and mirror it when
+# True (covariance symmetry: ~1.9x less transcendental/elementwise work per
+# build at N = 27; see the *_soa_sym builders). Module-level so benches can
+# A/B both paths; `flagship_cov_soa(symmetric=None)` reads it.
+SOA_SYMMETRIC = True
 
 
 def se_blocks(x_row, x_col, theta):
@@ -51,20 +62,9 @@ def se_blocks(x_row, x_col, theta):
     return e, k10, -k10, (1.0 - r2) * inv_l2 * e
 
 
-def gibbs_tanh_blocks(x_row, x_col, theta):
-    """Gibbs-tanh {value, slope} blocks (hand-derived; see module docstring
-    of `gptools_tpu.ops.pallas_cov` for the derivation)."""
-    sf, l1, l2, lw, x0 = theta[0], theta[1], theta[2], theta[3], theta[4]
-
-    def warp(x):
-        t = jnp.tanh((x - x0) / lw)
-        l = l1 + 0.5 * (l2 - l1) * (1.0 + t)
-        dl = 0.5 * (l2 - l1) * (1.0 - t * t) / lw
-        return l, dl
-
-    la, dla = warp(x_row)
-    lb, dlb = warp(x_col)
-    d = x_row - x_col
+def _gibbs_pair_blocks(sf, la, dla, lb, dlb, d):
+    """Post-warp Gibbs-tanh block math on broadcast-compatible operands
+    (shared between the tile builders and the symmetric pairs builders)."""
     u = la * la
     v = lb * lb
     S = u + v
@@ -84,6 +84,22 @@ def gibbs_tanh_blocks(x_row, x_col, theta):
         - 2.0 * d * up * inv_S2
     )
     return k, g1 * k, g2 * k, (g1 * g2 + dg2dx) * k
+
+
+def gibbs_tanh_blocks(x_row, x_col, theta):
+    """Gibbs-tanh {value, slope} blocks (hand-derived; see module docstring
+    of `gptools_tpu.ops.pallas_cov` for the derivation)."""
+    sf, l1, l2, lw, x0 = theta[0], theta[1], theta[2], theta[3], theta[4]
+
+    def warp(x):
+        t = jnp.tanh((x - x0) / lw)
+        l = l1 + 0.5 * (l2 - l1) * (1.0 + t)
+        dl = 0.5 * (l2 - l1) * (1.0 - t * t) / lw
+        return l, dl
+
+    la, dla = warp(x_row)
+    lb, dlb = warp(x_col)
+    return _gibbs_pair_blocks(sf, la, dla, lb, dlb, x_row - x_col)
 
 
 def assemble_blocks(blocks, nid_row, nid_col):
@@ -152,9 +168,63 @@ def gibbs_tanh_cov_fused_soa(X, nid, thetaT):
     )
 
 
-def flagship_cov_soa(kernel, thetaT, X, nid, multi_indices):
+@functools.lru_cache(maxsize=64)
+def _triu_index_maps(n: int):
+    """Static index plumbing for the symmetric pairs builders: upper-triangle
+    (row, col) index vectors of length Np = n(n+1)/2 and the (n, n) pair-id
+    matrix that mirrors packed pair values back into a full matrix."""
+    rows, cols = np.triu_indices(n)
+    pid = np.zeros((n, n), np.int32)
+    pid[rows, cols] = np.arange(rows.shape[0], dtype=np.int32)
+    pid[cols, rows] = pid[rows, cols]
+    return rows, cols, pid
+
+
+def se_cov_fused_soa_sym(X, nid, thetaT):
+    """Symmetric chains-minor fused SE covariance: compute only the
+    Np = N(N+1)/2 upper-triangle pairs as a packed (Np, C) array, then
+    mirror via a static gather. Same values as `se_cov_fused_soa` (K is
+    symmetric: K[j,i] = K[i,j] for every derivative-order combination), but
+    ~1.9x less O(N^2 C) elementwise/transcendental work in both the forward
+    build and its VJP (the gather transposes to a pair-indexed scatter-add).
+    The packed pair axis is chain-major/(pair, C)-shaped, so the chain axis
+    stays minormost and tile-dense exactly like the full builder."""
+    rows, cols, pid = _triu_index_maps(X.shape[0])
+    x_r = X[rows][:, None]
+    x_c = X[cols][:, None]
+    vals = assemble_blocks(
+        se_blocks(x_r, x_c, thetaT),
+        nid[rows][:, None],
+        nid[cols][:, None],
+    )  # (Np, C)
+    return vals[pid]
+
+
+def gibbs_tanh_cov_fused_soa_sym(X, nid, thetaT):
+    """Symmetric chains-minor fused Gibbs-tanh covariance (see
+    `se_cov_fused_soa_sym`). The tanh warp is additionally hoisted OUT of
+    the pair computation: l(x) and l'(x) are evaluated once per point on an
+    (N, C) array and gathered per pair, so the pairs path does not repay the
+    warp transcendentals per pair."""
+    rows, cols, pid = _triu_index_maps(X.shape[0])
+    sf, l1, l2, lw, x0 = thetaT[0], thetaT[1], thetaT[2], thetaT[3], thetaT[4]
+    t = jnp.tanh((X[:, None] - x0) / lw)          # (N, C)
+    l = l1 + 0.5 * (l2 - l1) * (1.0 + t)
+    dl = 0.5 * (l2 - l1) * (1.0 - t * t) / lw
+    d = (X[rows] - X[cols])[:, None]              # (Np, 1): chain-free
+    blocks = _gibbs_pair_blocks(sf, l[rows], dl[rows], l[cols], dl[cols], d)
+    vals = assemble_blocks(
+        blocks, nid[rows][:, None], nid[cols][:, None]
+    )  # (Np, C)
+    return vals[pid]
+
+
+def flagship_cov_soa(kernel, thetaT, X, nid, multi_indices, symmetric=None):
     """Chains-minor batched fused K: thetaT (P, C) -> (N, N, C) for a
-    supported flagship kernel (the batched-evidence hot path)."""
+    supported flagship kernel (the batched-evidence hot path).
+
+    ``symmetric``: build only the upper-triangle pairs and mirror
+    (default: the module flag `SOA_SYMMETRIC`)."""
     from gptools_tpu.ops.kernels import (
         GibbsKernel,
         SquaredExponentialKernel,
@@ -168,10 +238,16 @@ def flagship_cov_soa(kernel, thetaT, X, nid, multi_indices):
         )
     ids = _order_ids(nid, multi_indices)
     Xf = X.reshape(-1)
+    if symmetric is None:
+        symmetric = SOA_SYMMETRIC
     if type(kernel) is SquaredExponentialKernel:
-        return se_cov_fused_soa(Xf, ids, thetaT)
+        build = se_cov_fused_soa_sym if symmetric else se_cov_fused_soa
+        return build(Xf, ids, thetaT)
     if isinstance(kernel, GibbsKernel):
-        return gibbs_tanh_cov_fused_soa(Xf, ids, thetaT)
+        build = (
+            gibbs_tanh_cov_fused_soa_sym if symmetric else gibbs_tanh_cov_fused_soa
+        )
+        return build(Xf, ids, thetaT)
     raise ValueError(type(kernel).__name__)
 
 

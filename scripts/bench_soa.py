@@ -46,8 +46,31 @@ def main():
         (g,) = pull(jnp.ones_like(lls))
         return lls, g
 
+    from gptools_tpu.ops import fused
+
+    def vag_batch_full(u):
+        # full-matrix (non-symmetric) chains-minor build for the A/B
+        old = fused.SOA_SYMMETRIC
+        fused.SOA_SYMMETRIC = False
+        try:
+            return vag_batch(u)
+        finally:
+            fused.SOA_SYMMETRIC = old
+
+    def vag_batch_sym(u):
+        old = fused.SOA_SYMMETRIC
+        fused.SOA_SYMMETRIC = True
+        try:
+            return vag_batch(u)
+        finally:
+            fused.SOA_SYMMETRIC = old
+
     results = {}
-    for name, fn in [("vmap", vag_vmap), ("soa", vag_batch)]:
+    for name, fn in [
+        ("vmap", vag_vmap),
+        ("soa", vag_batch_full),
+        ("soa_sym", vag_batch_sym),
+    ]:
         # scan-chained so per-iteration cost isn't swamped by dispatch RTT
         def chained(u, _fn=fn):
             def body(carry, _):
@@ -77,6 +100,9 @@ def main():
         "device": str(jax.devices()[0]),
         "speedup_run": round(results["vmap"]["grad_ms"] / results["soa"]["grad_ms"], 2),
         "speedup_compile": round(results["vmap"]["compile_s"] / results["soa"]["compile_s"], 2),
+        "speedup_sym_vs_full": round(
+            results["soa"]["grad_ms"] / results["soa_sym"]["grad_ms"], 2
+        ),
     }))
 
 

@@ -85,6 +85,92 @@ def check_compiled_kernels():
     print(json.dumps({"check": "compiled_kernels", "ok": True, **out}))
 
 
+def check_fused_evidence(chains=12288):
+    """Compiled (non-interpret) single-kernel fused evidence
+    (ops/evidence_pallas.py) on the chip: value/gradient parity with the
+    chains-minor XLA path at the bench shape, plus per-gradient timing for
+    both (scan-chained to amortize dispatch RTT)."""
+    from bench import _flagship_problem
+
+    model, data = _flagship_problem()
+    thetas = model.hyperprior.sample(
+        jax.random.PRNGKey(0), (chains,)
+    ).astype(jnp.float32)
+    thetaT = thetas.T
+    fn = model._pallas_evidence_fn(data)
+    assert fn is not None, "fused_pallas evidence not eligible on this config"
+
+    def vag_pl(tT):
+        ll, pull = jax.vjp(fn, tT)
+        return ll, pull(jnp.ones_like(ll))[0]
+
+    ev = model.evidence_backend
+    model.evidence_backend = "xla"
+    try:
+
+        def vag_xla(tT):
+            f = lambda t: model.log_marginal_batch(t.T, data)  # noqa: E731
+            ll, pull = jax.vjp(f, tT)
+            return ll, pull(jnp.ones_like(ll))[0]
+
+        (llp, gp_), (llx, gx) = (
+            jax.jit(vag_pl)(thetaT),
+            jax.jit(vag_xla)(thetaT),
+        )
+    finally:
+        model.evidence_backend = ev
+    llp, gp_, llx, gx = map(np.asarray, (llp, gp_, llx, gx))
+    fin = np.isfinite(llx)
+    d = np.abs(llp[fin] - llx[fin])
+    ll_err, ll_p99 = float(d.max()), float(np.percentile(d, 99))
+    g_scale = np.abs(gx[:, fin]).max()
+    g_err = float(np.max(np.abs(gp_[:, fin] - gx[:, fin])) / (g_scale + 1e-30))
+    # f32 rounding-ORDER noise between two exact-in-f64 formulations
+    # (tests/test_evidence_pallas.py pins f64 agreement to 1e-9): prior
+    # draws include ill-conditioned K where the f32 Cholesky cancellation
+    # amplifies either path's rounding equally. The statistical acceptance
+    # is the f32 parity gate (scripts/f32_parity.py).
+    assert ll_err < 0.5 and ll_p99 < 0.05, (ll_err, ll_p99)
+    assert g_err < 5e-3, g_err
+
+    times = {}
+    for name, vag in [("pallas_fused", vag_pl), ("xla", vag_xla)]:
+        if name == "xla":
+            model.evidence_backend = "xla"
+
+        def chained(tT, _vag=vag):
+            def body(c, _):
+                ll, g = _vag(c)
+                return c + 0.0 * g, jnp.sum(ll)
+
+            return jax.lax.scan(body, tT, None, length=8)
+
+        try:
+            jfn = jax.jit(chained)
+            t0 = time.perf_counter()
+            jax.block_until_ready(jfn(thetaT))
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = jfn(thetaT)
+            jax.block_until_ready(out)
+            times[name] = {
+                "grad_ms": round((time.perf_counter() - t0) / 80 * 1e3, 3),
+                "compile_s": round(compile_s, 1),
+            }
+        finally:
+            model.evidence_backend = ev
+    print(json.dumps({
+        "check": "fused_evidence", "ok": True, "chains": chains,
+        "ll_maxerr": round(ll_err, 5), "ll_p99err": round(ll_p99, 5),
+        "grad_relerr": round(g_err, 7),
+        **{f"{k}_{m}": v for k, d in times.items() for m, v in d.items()},
+        "speedup": round(
+            times["xla"]["grad_ms"] / times["pallas_fused"]["grad_ms"], 2
+        ),
+    }))
+
+
 def check_pallas_grad_hazard(chains=12288):
     """Single-shot compile of the vmapped pallas-backend evidence gradient —
     the r2 OOM configuration. Reports compile+run wall or the failure."""
@@ -123,6 +209,7 @@ def main():
     args = ap.parse_args()
     check_backends()
     check_compiled_kernels()
+    check_fused_evidence(args.chains)
     if not args.skip_hazard:
         check_pallas_grad_hazard(args.chains)
     print("tpu_smoke done on", jax.devices()[0], file=sys.stderr)

@@ -1,0 +1,146 @@
+"""Single-kernel fused Pallas evidence (ops/evidence_pallas.py): parity with
+the chains-minor XLA path, the -inf-on-failure contract, and the GPModel
+dispatch gate. All runs are interpret-mode on CPU (the compiled kernel is
+exercised on hardware by scripts/tpu_smoke.py and the bench).
+
+Reference counterpart: gptools/core.py :: compute_K_L_alpha_ll (the one hot
+path, SURVEY.md section 3.1) — here fused into one TPU kernel computing the
+value AND the analytic theta-gradient in a single pass.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gptools_tpu.models.dataset import DatasetBuilder
+from gptools_tpu.models.gp import GPModel
+from gptools_tpu.ops import evidence, evidence_pallas, fused
+from gptools_tpu.ops.kernels import GibbsKernel1dTanh, SquaredExponentialKernel
+
+
+def _problem(rng, n_val=7, n_slope=3):
+    N = n_val + n_slope
+    X = np.sort(rng.uniform(0, 1.2, N))
+    nid = np.array([0] * n_val + [1] * n_slope)
+    y = rng.standard_normal(N)
+    err2 = np.full(N, 0.01)
+    return X, nid, y, err2
+
+
+def _xla_ll(build, X, nid, y, err2, thetaT, df=1e2):
+    N = X.shape[0]
+    r = jnp.broadcast_to(jnp.asarray(y)[:, None], (N, thetaT.shape[1]))
+
+    def f(t):
+        K = build(jnp.asarray(X), jnp.asarray(nid), t)
+        Kobs = K + (jnp.asarray(err2)[:, None] * jnp.eye(N))[:, :, None]
+        return evidence.loglik_b(Kobs.astype(t.dtype), r.astype(t.dtype), df)
+
+    return f
+
+
+@pytest.mark.parametrize(
+    "kind,P,build",
+    [
+        ("gibbs_tanh", 5, fused.gibbs_tanh_cov_fused_soa),
+        ("se", 2, fused.se_cov_fused_soa),
+    ],
+)
+def test_fused_evidence_matches_xla_path(rng, kind, P, build):
+    """Value and full theta-gradient must match the loglik_b path to f64
+    precision (the kernel is the same math in one pass)."""
+    X, nid, y, err2 = _problem(rng)
+    C = 16
+    thetaT = jnp.asarray(rng.uniform(0.3, 1.4, (P, C)))
+    vag = evidence_pallas.build_loglik_vag(
+        kind, X, nid, y, err2, 1e2, interpret=True
+    )
+    ll_p, grad_p = vag(thetaT)
+    ll_x, pull = jax.vjp(_xla_ll(build, X, nid, y, err2, thetaT), thetaT)
+    (grad_x,) = pull(jnp.ones_like(ll_x))
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(grad_p), np.asarray(grad_x), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_fused_evidence_custom_vjp_and_padding(rng):
+    """The differentiable wrapper must flow cotangents correctly (bwd is one
+    multiply against the stored gradient) and pad non-multiple-of-1024 chain
+    counts transparently."""
+    X, nid, y, err2 = _problem(rng)
+    C = 13  # deliberately not a block multiple
+    thetaT = jnp.asarray(rng.uniform(0.3, 1.4, (5, C)))
+    f = evidence_pallas.make_loglik_theta(
+        "gibbs_tanh", X, nid, y, err2, 1e2, interpret=True
+    )
+    ll, pull = jax.vjp(f, thetaT)
+    ct = jnp.asarray(rng.standard_normal(C))
+    (grad,) = pull(ct)
+    ll_x, pull_x = jax.vjp(
+        _xla_ll(fused.gibbs_tanh_cov_fused_soa, X, nid, y, err2, thetaT),
+        thetaT,
+    )
+    (grad_x,) = pull_x(ct)
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_x), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(grad_x), rtol=1e-7, atol=1e-9
+    )
+    # cache: same data -> same compiled callable object
+    f2 = evidence_pallas.make_loglik_theta(
+        "gibbs_tanh", X, nid, y, err2, 1e2, interpret=True
+    )
+    assert f2 is f
+
+
+def test_fused_evidence_inf_contract(rng):
+    """A non-finite theta must yield ll = -inf and ZERO gradient (the
+    reference's reject-don't-crash contract, gptools/error_handling.py)."""
+    X, nid, y, err2 = _problem(rng)
+    thetaT = jnp.asarray(rng.uniform(0.3, 1.4, (5, 4)))
+    thetaT = thetaT.at[2, 1].set(jnp.nan)
+    vag = evidence_pallas.build_loglik_vag(
+        "gibbs_tanh", X, nid, y, err2, 1e2, interpret=True
+    )
+    ll, grad = vag(thetaT)
+    assert np.asarray(ll[1]) == -np.inf
+    np.testing.assert_array_equal(np.asarray(grad[:, 1]), 0.0)
+    assert np.isfinite(np.asarray(ll)[[0, 2, 3]]).all()
+    assert np.isfinite(np.asarray(grad)[:, [0, 2, 3]]).all()
+
+
+def test_model_dispatch_gate(rng):
+    """GPModel routes the batched evidence through the fused kernel exactly
+    when eligible: explicit fused_pallas on the flagship problem uses it (and
+    matches the XLA path), while auto-on-CPU and ineligible configs do not."""
+    b = DatasetBuilder(1)
+    X = np.sort(rng.uniform(0, 1.2, 9))
+    b.add(X, np.sin(X), err_y=0.1)
+    b.add(np.array([0.0, 1.2]), np.zeros(2), err_y=0.05, n=1)
+    data = b.build()
+    thetas = jnp.asarray(rng.uniform(0.3, 1.4, (5, 5)))
+
+    m_pl = GPModel(GibbsKernel1dTanh(), evidence_backend="fused_pallas")
+    m_xla = GPModel(GibbsKernel1dTanh(), evidence_backend="xla")
+    assert m_pl._pallas_evidence_fn(data) is not None
+    # auto on CPU resolves to the XLA path
+    assert GPModel(GibbsKernel1dTanh())._pallas_evidence_fn(data) is None
+    ll_p = m_pl.log_marginal_batch(thetas, data)
+    ll_x = m_xla.log_marginal_batch(thetas, data)
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x), rtol=1e-9)
+    g_p = jax.grad(lambda t: jnp.sum(m_pl.log_marginal_batch(t, data)))(thetas)
+    g_x = jax.grad(lambda t: jnp.sum(m_xla.log_marginal_batch(t, data)))(thetas)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), rtol=1e-7, atol=1e-9
+    )
+
+    # ineligible: a mean function falls back to the XLA path
+    from gptools_tpu.models.mean import ConstantMeanFunction
+
+    m_mean = GPModel(
+        GibbsKernel1dTanh(),
+        mean=ConstantMeanFunction(),
+        evidence_backend="fused_pallas",
+    )
+    assert m_mean._pallas_evidence_fn(data) is None

@@ -91,6 +91,51 @@ def test_fused_evidence_gradcheck(rng):
         assert np.isclose(float(g[i]), fd, rtol=2e-5, atol=1e-7), (i, float(g[i]), fd)
 
 
+@pytest.mark.parametrize(
+    "full,sym,P",
+    [
+        (fused.se_cov_fused_soa, fused.se_cov_fused_soa_sym, 2),
+        (fused.gibbs_tanh_cov_fused_soa, fused.gibbs_tanh_cov_fused_soa_sym, 5),
+    ],
+)
+def test_symmetric_soa_builders_match_full(rng, full, sym, P):
+    """The pairs-packed symmetric builders (upper triangle + mirror, the
+    batched-evidence default) must reproduce the full-matrix chains-minor
+    build exactly: values AND theta-cotangents, including non-symmetric
+    output cotangents (whose (i,j)/(j,i) parts fold into one pair)."""
+    N, C = 11, 6
+    X = jnp.asarray(np.sort(rng.uniform(0, 1.2, N)))
+    nid = jnp.asarray(np.array([0] * (N - 3) + [1] * 3))
+    thetaT = jnp.asarray(rng.uniform(0.2, 1.5, (P, C)))
+    Kf = full(X, nid, thetaT)
+    Ks = sym(X, nid, thetaT)
+    np.testing.assert_allclose(np.asarray(Ks), np.asarray(Kf), rtol=1e-12)
+    # K must be exactly symmetric (the evidence only reads the lower triangle)
+    np.testing.assert_array_equal(
+        np.asarray(Ks), np.asarray(jnp.swapaxes(Ks, 0, 1))
+    )
+    ct = jnp.asarray(rng.standard_normal(Kf.shape))
+    gf = jax.vjp(lambda t: full(X, nid, t), thetaT)[1](ct)[0]
+    gs = jax.vjp(lambda t: sym(X, nid, t), thetaT)[1](ct)[0]
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gf), rtol=1e-9)
+
+
+def test_batched_marginal_symmetric_matches_per_chain(rng):
+    """GPModel.log_marginal_batch (which routes through the symmetric
+    builder by default) must equal the per-chain path on the flagship
+    kernel with derivative observations."""
+    data = _data(rng)
+    m = GPModel(GibbsKernel1dTanh(), diag_factor=0.0)
+    thetas = jnp.asarray(
+        rng.uniform(0.2, 1.2, (5, 5))
+    )
+    lls_b = m.log_marginal_batch(thetas, data)
+    lls_v = jax.vmap(lambda t: m.log_marginal(t, data))(thetas)
+    np.testing.assert_allclose(
+        np.asarray(lls_b), np.asarray(lls_v), rtol=1e-10
+    )
+
+
 def test_non_tanh_gibbs_rejected(rng):
     """VERDICT r2 weak 3: the fused/pallas flagship builders hard-code the
     TanhWarp formulas; a direct call with another Gibbs warp must raise, not
