@@ -38,6 +38,24 @@ from gptools_tpu.infer.hmc import SampleResult
 __all__ = ["sample", "chees_step"]
 
 
+# Backends where overlapping background XLA compiles pays off: the remote
+# TPU tunnel's multi-minute compile latency. On CPU the same threads only
+# contend with the main thread for cores/memory — and under pytest-xdist
+# (2 workers x up to 2 background compiles each on a 2-core box) have
+# hard-crashed workers (observed in the r3/r4 full-suite logs:
+# "node down: Not properly terminated" with the main thread parked at
+# warm_thread.join()). Tests that exercise the warm machinery itself
+# monkeypatch this tuple to include "cpu".
+WARM_COMPILE_BACKENDS = ("tpu",)
+
+
+def _warm_compile_enabled() -> bool:
+    try:
+        return jax.default_backend() in WARM_COMPILE_BACKENDS
+    except Exception:
+        return False
+
+
 def _halton(i: jax.Array, base: int = 2) -> jax.Array:
     """Radical-inverse halton sequence element in (0, 1), jit-safe."""
     # 16 bits is plenty for jitter purposes
@@ -326,7 +344,9 @@ def prewarm(
     Call at pipeline start so the dominant XLA compiles overlap earlier
     pipeline stages (the SMC run + its own compile) instead of serializing
     after them — the bench's one-time wall is compile-dominated
-    (BASELINE.md r3 stage profile). Shapes/dtypes/static config must match
+    (BASELINE.md r3 stage profile). No-op off-TPU (`WARM_COMPILE_BACKENDS`):
+    the overlap hides the remote-TPU tunnel's compile latency; on CPU the
+    threads only contend for cores. Shapes/dtypes/static config must match
     the later `sample` call exactly; a mismatch is harmless (the warm cache
     entry is simply never hit). The dummy operands are plain UNCOMMITTED
     zeros for the same reason as `sample`'s own warm thread (committed
@@ -335,6 +355,8 @@ def prewarm(
     before `sample` so the real call never compiles concurrently with a
     still-running warm thread.
     """
+    if not _warm_compile_enabled():
+        return lambda: None
     try:
         takes_params = params_struct is not None
         init_fn, chunk_fn = _build_programs(
@@ -485,7 +507,7 @@ def sample(
         needs_compile = getattr(chunk_fn, "_cache_size", lambda: 1)() == 0
     except Exception:
         single_dev = needs_compile = False
-    if single_dev and needs_compile:
+    if single_dev and needs_compile and _warm_compile_enabled():
 
         def _zeros_like_struct(tree):
             return jax.tree_util.tree_map(

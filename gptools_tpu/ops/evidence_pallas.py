@@ -310,19 +310,19 @@ def build_loglik_vag(
                 pl.BlockSpec(
                     (P, _SUB, _LANES),
                     lambda i: (0, i, 0),
-                    memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                    memory_space=pl.ANY if interpret else pltpu.VMEM,
                 )
             ],
             out_specs=[
                 pl.BlockSpec(
                     (_SUB, _LANES),
                     lambda i: (i, 0),
-                    memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                    memory_space=pl.ANY if interpret else pltpu.VMEM,
                 ),
                 pl.BlockSpec(
                     (P, _SUB, _LANES),
                     lambda i: (0, i, 0),
-                    memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                    memory_space=pl.ANY if interpret else pltpu.VMEM,
                 ),
             ],
             out_shape=[

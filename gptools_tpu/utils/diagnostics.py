@@ -72,9 +72,22 @@ def ess(chains: jax.Array) -> jax.Array:
     return m * n / tau
 
 
+def _host_layout(samples: jax.Array) -> jax.Array:
+    """Normalize a concrete post-run array to a fresh default-layout device
+    array. Mesh runs can hand diagnostics sharded / non-default-layout
+    arrays, which XLA:CPU's FFT thunk rejects outright (RET_CHECK
+    `IsMonotonicWithDim0Major` — observed in the r4 full-suite log from the
+    config-5 sharded pipeline). Diagnostics are host-side post-processing,
+    so a host round-trip is both safe and cheap here; tracers pass through
+    untouched."""
+    if isinstance(samples, jax.core.Tracer):
+        return samples
+    return jnp.asarray(np.asarray(samples))
+
+
 def ess_per_param(samples: jax.Array) -> jax.Array:
     """ESS for each parameter of (num_chains, num_samples, dim) samples."""
-    samples = jnp.asarray(samples)
+    samples = _host_layout(jnp.asarray(samples))
     if samples.ndim == 2:
         samples = samples[None]
     return jax.jit(jax.vmap(ess, in_axes=2))(samples)
@@ -82,7 +95,7 @@ def ess_per_param(samples: jax.Array) -> jax.Array:
 
 def split_rhat(samples: jax.Array) -> jax.Array:
     """Split-R-hat per parameter for (num_chains, num_samples, dim) samples."""
-    samples = jnp.asarray(samples)
+    samples = _host_layout(jnp.asarray(samples))
     if samples.ndim == 2:
         samples = samples[None]
     c, n, d = samples.shape

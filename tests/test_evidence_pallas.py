@@ -19,7 +19,7 @@ from gptools_tpu.ops import evidence, evidence_pallas, fused
 from gptools_tpu.ops.kernels import GibbsKernel1dTanh, SquaredExponentialKernel
 
 
-def _problem(rng, n_val=7, n_slope=3):
+def _problem(rng, n_val=6, n_slope=2):
     N = n_val + n_slope
     X = np.sort(rng.uniform(0, 1.2, N))
     nid = np.array([0] * n_val + [1] * n_slope)
@@ -51,7 +51,7 @@ def test_fused_evidence_matches_xla_path(rng, kind, P, build):
     """Value and full theta-gradient must match the loglik_b path to f64
     precision (the kernel is the same math in one pass)."""
     X, nid, y, err2 = _problem(rng)
-    C = 16
+    C = 8
     thetaT = jnp.asarray(rng.uniform(0.3, 1.4, (P, C)))
     vag = evidence_pallas.build_loglik_vag(
         kind, X, nid, y, err2, 1e2, interpret=True
@@ -70,7 +70,7 @@ def test_fused_evidence_custom_vjp_and_padding(rng):
     multiply against the stored gradient) and pad non-multiple-of-1024 chain
     counts transparently."""
     X, nid, y, err2 = _problem(rng)
-    C = 13  # deliberately not a block multiple
+    C = 7  # deliberately not a block multiple
     thetaT = jnp.asarray(rng.uniform(0.3, 1.4, (5, C)))
     f = evidence_pallas.make_loglik_theta(
         "gibbs_tanh", X, nid, y, err2, 1e2, interpret=True
@@ -115,11 +115,11 @@ def test_model_dispatch_gate(rng):
     when eligible: explicit fused_pallas on the flagship problem uses it (and
     matches the XLA path), while auto-on-CPU and ineligible configs do not."""
     b = DatasetBuilder(1)
-    X = np.sort(rng.uniform(0, 1.2, 9))
+    X = np.sort(rng.uniform(0, 1.2, 7))
     b.add(X, np.sin(X), err_y=0.1)
     b.add(np.array([0.0, 1.2]), np.zeros(2), err_y=0.05, n=1)
     data = b.build()
-    thetas = jnp.asarray(rng.uniform(0.3, 1.4, (5, 5)))
+    thetas = jnp.asarray(rng.uniform(0.3, 1.4, (4, 5)))
 
     m_pl = GPModel(GibbsKernel1dTanh(), evidence_backend="fused_pallas")
     m_xla = GPModel(GibbsKernel1dTanh(), evidence_backend="xla")

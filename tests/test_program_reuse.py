@@ -96,12 +96,16 @@ def test_pipeline_reuses_compiled_programs(rng, key):
     np.testing.assert_allclose(m1, m2, rtol=0.25)
 
 
-def test_pipeline_prewarm_single_aval(rng, key):
+def test_pipeline_prewarm_single_aval(rng, key, monkeypatch):
     """The pipeline's pre-SMC compile overlap (`chees.prewarm`) must build
     EXACTLY the programs the real sampler call uses: after one pipeline
     run, both jitted programs hold a single aval signature (the prewarmed
     executables were hit, not shadowed by a second compile from a
-    dummy-operand aval mismatch)."""
+    dummy-operand aval mismatch). The warm machinery is TPU-only in
+    production (background XLA compiles hard-crashed xdist workers on the
+    2-core CPU box — r4 full-suite log); enable it here to keep the
+    mechanism itself under test."""
+    monkeypatch.setattr(_chees, "WARM_COMPILE_BACKENDS", ("cpu", "tpu"))
     model, data = _problem(rng)
     smc_then_chees(model, data, key, **RUN_KW)
     fns = model.__dict__["_pipeline_fn_cache"][id(data)]
