@@ -94,11 +94,15 @@ def test_pipeline_reuses_compiled_programs(rng, key, monkeypatch):
     assert smc_after.currsize == smc_mid.currsize
     assert smc_after.hits > smc_mid.hits
 
-    # ONE aval signature across both runs (no silent retrace from e.g.
-    # weak-vs-strong dtype drift in the operands)
+    # No shadow recompile across both runs (a retrace from e.g.
+    # weak-vs-strong dtype drift would add a second aval entry). JAX's C++
+    # pjit cache is a GLOBAL 8192-entry LRU shared by every jitted function
+    # (jax/_src/pjit.py :: PjitFunctionCache), so deep into a full-suite
+    # run the entry for a just-executed program can already be evicted —
+    # 0 is therefore legal here; 2+ is the regression.
     for f in (init1, chunk1):
         if hasattr(f, "_cache_size"):
-            assert f._cache_size() == 1
+            assert f._cache_size() <= 1
 
     # different seeds -> different whitening moments/operands -> different
     # draws (guards against stale closure-captured constants)
@@ -129,12 +133,13 @@ def test_pipeline_prewarm_single_aval(rng, key, monkeypatch):
     for args_i, pair_i in calls[1:]:
         assert args_i == args0
         assert pair_i[0] is pair0[0] and pair_i[1] is pair0[1]
-    # ...and each jitted program holds a single aval signature: the real
-    # call HIT the prewarmed executables (no shadow compile from a
-    # dummy-operand aval mismatch)
+    # ...and no shadow compile from a dummy-operand aval mismatch: at most
+    # one aval entry (0 is legal — the shared global pjit LRU may already
+    # have evicted it in a long suite run; see the comment in
+    # test_pipeline_reuses_compiled_programs)
     for f in pair0:
         if hasattr(f, "_cache_size"):
-            assert f._cache_size() == 1
+            assert f._cache_size() <= 1
 
 
 def test_chees_kwargs_can_override_explicit_args(rng, key):
