@@ -154,15 +154,16 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repe
     model, data = _flagship_problem()
 
     # Priming run: compiles every program at the measured shapes. The sampler
-    # executes in shape-generic 25-iteration chunks (infer/chees.py), so a
-    # SHORT run (one warmup chunk + one sampling chunk) compiles everything
-    # the timed runs will execute — the dominant bench cost is compilation
-    # over the TPU tunnel (~3-7 min, stage profile in BASELINE.md r3), not
-    # execution, so priming at full length would waste half the capture
-    # window. Different seeds do NOT retrace; shapes are identical across
-    # repeats.
-    _measure_once(model, data, seed, num_chains, min(num_warmup, 25),
-                  min(num_samples, 25), max_steps=max_steps)
+    # chunks are shape-generic, but the POST-sampling jits (`_embed2`,
+    # `_unwhiten_samples`) specialize on the (chains, samples, P) stack — a
+    # short priming run left the first timed repeat paying their compile
+    # (walls 1.6-14 s vs the 0.6 s steady state, r4 sweep_perf log). With
+    # the fused evidence kernel the full-shape execution itself costs under
+    # a second, so priming at FULL length is now the cheap option and makes
+    # every timed repeat a pure-execution measurement. Different seeds do
+    # NOT retrace; shapes are identical across repeats.
+    _measure_once(model, data, seed + repeats, num_chains, num_warmup,
+                  num_samples, max_steps=max_steps)
 
     runs = []
     t_timed0 = time.perf_counter()
