@@ -32,9 +32,9 @@ from gptools_tpu.infer.hmc import SampleResult
 __all__ = ["smc_then_nuts", "smc_then_chees"]
 
 
-def _stable_fns(model, data):
-    """Per-(model, data) cache of the density closures handed to the ChEES
-    sampler.
+def _stable_fns(model, data, mesh=None, mesh_axis=None):
+    """Per-(model, data, mesh) cache of the density closures handed to the
+    ChEES sampler.
 
     The sampler's compiled-program cache (`chees._build_programs`) is keyed
     on the density function's IDENTITY, so these closures must be created
@@ -44,11 +44,20 @@ def _stable_fns(model, data):
     the jitted programs; see BASELINE.md). Whitening moments are NOT closed
     over — they arrive through the sampler's ``logp_params`` operand.
 
+    ``mesh``/``mesh_axis`` are closed over (and part of the cache key): the
+    batched density's fused-Pallas evidence dispatches through `shard_map`
+    over the chain axis when a mesh is given (`GPModel.log_marginal_batch`),
+    so a sharded and an unsharded run of the same (model, data) must trace
+    DIFFERENT density functions — sharing one closure would let the first
+    run's trace (with or without the shard_map) be silently reused for the
+    other.
+
     The cache entry holds ``data`` strongly, so the ``id(data)`` key cannot
     be reused by a different object while the entry lives.
     """
     cache = model.__dict__.setdefault("_pipeline_fn_cache", {})
-    entry = cache.get(id(data))
+    cache_key = (id(data), mesh, mesh_axis)
+    entry = cache.get(cache_key)
     if entry is not None and entry["data"] is data:
         return entry
     if len(cache) > 8:
@@ -68,11 +77,15 @@ def _stable_fns(model, data):
 
         def logp_w_batched(vs, params):
             mu, C = params
-            return model.log_posterior_u_batch(vs @ C.T + mu, data)
+            return model.log_posterior_u_batch(
+                vs @ C.T + mu, data, mesh=mesh, mesh_axis=mesh_axis
+            )
 
         def logp_u_batched(us, params):
             del params
-            return model.log_posterior_u_batch(us, data)
+            return model.log_posterior_u_batch(
+                us, data, mesh=mesh, mesh_axis=mesh_axis
+            )
 
     entry = {
         "data": data,
@@ -81,7 +94,7 @@ def _stable_fns(model, data):
         "logp_u": logp_u,
         "logp_u_batched": logp_u_batched,
     }
-    cache[id(data)] = entry
+    cache[cache_key] = entry
     return entry
 
 
@@ -169,7 +182,7 @@ def smc_then_nuts(
     # stable per-(model, data) closures + whitening moments as operands:
     # repeated calls reuse the compiled NUTS window programs
     # (hmc._window_program)
-    fns = _stable_fns(model, data)
+    fns = _stable_fns(model, data, mesh=mesh, mesh_axis=mesh_axis)
     if whiten:
         mu = jnp.mean(particles, axis=0)
         P = particles.shape[1]
@@ -274,7 +287,14 @@ def smc_then_chees(
     # popping also keeps prewarm and the real call consistent.
     target_accept = ck.pop("target_accept", target_accept)
     max_steps = ck.pop("max_steps", max_steps)
-    fns = _stable_fns(model, data)
+    for k in ("logp_batched", "logp_params"):
+        if k in ck:
+            raise ValueError(
+                f"chees_kwargs[{k!r}] is managed by the pipeline (the density "
+                "closures and whitening moments are wired internally); it "
+                "cannot be overridden here"
+            )
+    fns = _stable_fns(model, data, mesh=mesh, mesh_axis=mesh_axis)
     # Overlap the sampler's XLA compiles with the whole SMC stage: the
     # (init, chunk) programs depend only on shapes/config known HERE, not
     # on SMC's output (run-specific whitening moments are runtime
@@ -353,7 +373,12 @@ def smc_then_chees(
             num_warmup=num_warmup,
             num_samples=num_samples,
             target_accept=target_accept,
-            inv_mass0=var,
+            # pop explicitly-passed keys so chees_kwargs overrides don't
+            # raise "got multiple values" (ADVICE r4 — same class as the
+            # target_accept/max_steps/eps0 pops above); defaults match the
+            # previous behavior (chees.sample's own eps0 default here)
+            eps0=ck.pop("eps0", 0.1),
+            inv_mass0=ck.pop("inv_mass0", var),
             max_steps=max_steps,
             logp_batched=fns["logp_u_batched"],
             logp_params=(),

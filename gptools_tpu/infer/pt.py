@@ -54,7 +54,7 @@ from gptools_tpu.infer.hmc import (
     welford_variance,
 )
 
-__all__ = ["sample", "geometric_ladder", "model_splits", "tempered_logp_and_grad"]
+__all__ = ["sample", "geometric_ladder", "model_splits", "model_splits_batched", "tempered_logp_and_grad"]
 
 
 def tempered_logp_and_grad(log_like_fn, log_prior_fn, beta):
@@ -112,6 +112,42 @@ def model_splits(model, data):
 
     cache[id(data)] = (data, log_like_fn, log_prior_fn)
     return log_like_fn, log_prior_fn
+
+
+def model_splits_batched(model, data, mesh=None, mesh_axis=None):
+    """Batched (us (N, P) -> (N,)) u-space log-likelihood for the model, or
+    None when the model/data has no chains-minor path.
+
+    The SMC mutation sweep is a pure likelihood evaluation over the whole
+    particle ensemble — exactly the shape the batched evidence (and on TPU
+    the fused Pallas kernel, `GPModel.log_marginal_batch`) is built for; the
+    vmapped scalar path recomputes the covariance per particle with generic
+    autodiff assembly. Cached per (model, data, mesh) for the same
+    program-identity reuse contract as `model_splits`; ``mesh`` is closed
+    over so a sharded SMC run dispatches the fused kernel via shard_map
+    (see `GPModel.log_marginal_batch`).
+    """
+    # duck-typed: toy/test models without the GPModel batch machinery simply
+    # keep the vmapped scalar path
+    supported = getattr(model, "_batch_supported", None)
+    if supported is None or not supported(data):
+        return None
+    cache = model.__dict__.setdefault("_model_splits_batched_cache", {})
+    cache_key = (id(data), mesh, mesh_axis)
+    entry = cache.get(cache_key)
+    if entry is not None and entry[0] is data:
+        return entry[1]
+    if len(cache) > 8:
+        cache.clear()
+
+    def log_like_batched(us):
+        thetas = jax.vmap(model.theta_of_u)(us)
+        return model.log_marginal_batch(
+            thetas, data, mesh=mesh, mesh_axis=mesh_axis
+        )
+
+    cache[cache_key] = (data, log_like_batched)
+    return log_like_batched
 
 
 def geometric_ladder(num_temps: int, beta_min: float = 0.1, dtype=jnp.float32):

@@ -39,14 +39,15 @@ __all__ = ["sample", "SMCState"]
 
 
 @functools.lru_cache(maxsize=32)
-def _round_program(log_like_fn, log_prior_fn, ess_target, num_mutations,
-                   state_sh):
+def _round_program(log_like_fn, log_prior_fn, log_like_batched, ess_target,
+                   num_mutations, state_sh):
     """Jitted SMC round, cached on the (stable) density-split functions plus
     static config — repeated SMC runs over the same (model, data) reuse the
     compiled round instead of recompiling it per `sample` call (the same
-    program-reuse contract as `chees._build_programs`; `pt.model_splits`
-    guarantees stable function identities). ``state_sh``: optional SMCState
-    of NamedShardings (hashable) for the mesh path."""
+    program-reuse contract as `chees._build_programs`; `pt.model_splits` /
+    `pt.model_splits_batched` guarantee stable function identities).
+    ``state_sh``: optional SMCState of NamedShardings (hashable) for the
+    mesh path."""
     kw = {}
     if state_sh is not None:
         kw = {"in_shardings": (state_sh,), "out_shardings": state_sh}
@@ -57,6 +58,7 @@ def _round_program(log_like_fn, log_prior_fn, ess_target, num_mutations,
             s,
             ess_target=ess_target,
             num_mutations=num_mutations,
+            log_like_batched=log_like_batched,
         ),
         **kw,
     )
@@ -121,8 +123,14 @@ def smc_round(
     ess_target: float = 0.5,
     num_mutations: int = 5,
     proposal_scale: float = 1.0,
+    log_like_batched: Optional[Callable] = None,
 ) -> SMCState:
-    """One reweight -> resample -> mutate round (jitted by the driver)."""
+    """One reweight -> resample -> mutate round (jitted by the driver).
+
+    ``log_like_batched``: optional (N, P) -> (N,) likelihood for the
+    mutation sweep (`pt.model_splits_batched`) — the chains-minor / fused-
+    Pallas evidence instead of the vmapped per-particle scalar path.
+    """
     n, p = state.u.shape
     dtype = state.u.dtype
     key, k_res, k_mut = jax.random.split(state.key, 3)
@@ -152,7 +160,10 @@ def smc_round(
         k1, k2 = jax.random.split(k)
         z = jax.random.normal(k1, u.shape, dtype)
         prop = u + step * z @ chol.T
-        ll_p = jax.vmap(log_like_fn)(prop)
+        if log_like_batched is not None:
+            ll_p = log_like_batched(prop)
+        else:
+            ll_p = jax.vmap(log_like_fn)(prop)
         lp_p = jax.vmap(log_prior_fn)(prop)
         log_alpha = (
             beta_new * ll_p + lp_p - (beta_new * log_like + log_prior)
@@ -203,10 +214,13 @@ def sample(
     (SURVEY.md section 7.3 hard part #3).
     """
     # likelihood / prior(+log|det J|) split in u-space, shared with PT
-    from gptools_tpu.infer.pt import model_splits
+    from gptools_tpu.infer.pt import model_splits, model_splits_batched
 
     embed = model.theta_of_u
     log_like_fn, log_prior_fn = model_splits(model, data)
+    # batched mutation sweep (chains-minor / fused-Pallas evidence) when the
+    # model supports it; mesh closed over for the sharded shard_map dispatch
+    log_like_b = model_splits_batched(model, data, mesh=mesh, mesh_axis=mesh_axis)
 
     k_init, key = jax.random.split(key)
     thetas0 = model.hyperprior.sample(k_init, (num_particles,))
@@ -252,6 +266,7 @@ def sample(
     round_fn = _round_program(
         log_like_fn,
         log_prior_fn,
+        log_like_b,
         float(ess_target),
         int(num_mutations),
         state_sh if mesh is not None else None,

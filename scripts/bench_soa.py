@@ -49,27 +49,44 @@ def main():
     from gptools_tpu.ops import fused
 
     def vag_batch_full(u):
-        # full-matrix (non-symmetric) chains-minor build for the A/B
-        old = fused.SOA_SYMMETRIC
+        # full-matrix (non-symmetric) chains-minor build for the A/B.
+        # Force the XLA evidence backend: under evidence_backend="auto" on a
+        # TPU device log_posterior_u_batch dispatches to the fused Pallas
+        # kernel BEFORE flagship_cov_soa ever reads SOA_SYMMETRIC, which
+        # would make both soa rows (and speedup_run) time the Pallas kernel
+        # and the calibration numbers meaningless (ADVICE r4).
+        old_sym, old_be = fused.SOA_SYMMETRIC, model.evidence_backend
         fused.SOA_SYMMETRIC = False
+        model.evidence_backend = "xla"
         try:
             return vag_batch(u)
         finally:
-            fused.SOA_SYMMETRIC = old
+            fused.SOA_SYMMETRIC, model.evidence_backend = old_sym, old_be
 
     def vag_batch_sym(u):
-        old = fused.SOA_SYMMETRIC
+        old_sym, old_be = fused.SOA_SYMMETRIC, model.evidence_backend
         fused.SOA_SYMMETRIC = True
+        model.evidence_backend = "xla"
         try:
             return vag_batch(u)
         finally:
-            fused.SOA_SYMMETRIC = old
+            fused.SOA_SYMMETRIC, model.evidence_backend = old_sym, old_be
+
+    def vag_pallas(u):
+        # the single-kernel fused Pallas evidence (the "auto" default on TPU)
+        old_be = model.evidence_backend
+        model.evidence_backend = "fused_pallas"
+        try:
+            return vag_batch(u)
+        finally:
+            model.evidence_backend = old_be
 
     results = {}
     for name, fn in [
         ("vmap", vag_vmap),
         ("soa", vag_batch_full),
         ("soa_sym", vag_batch_sym),
+        ("pallas", vag_pallas),
     ]:
         # scan-chained so per-iteration cost isn't swamped by dispatch RTT
         def chained(u, _fn=fn):
@@ -102,6 +119,9 @@ def main():
         "speedup_compile": round(results["vmap"]["compile_s"] / results["soa"]["compile_s"], 2),
         "speedup_sym_vs_full": round(
             results["soa"]["grad_ms"] / results["soa_sym"]["grad_ms"], 2
+        ),
+        "speedup_pallas_vs_sym": round(
+            results["soa_sym"]["grad_ms"] / results["pallas"]["grad_ms"], 2
         ),
     }))
 
