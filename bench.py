@@ -134,8 +134,60 @@ def _measure_once(model, data, seed, num_chains, num_warmup, num_samples,
     return min_ess / wall, info
 
 
-def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repeats=3,
-                  max_steps=256, budget_s=None):
+def _fused_parity_check(seed=1234, num_chains=1024):
+    """Re-certify the fused Pallas evidence kernel against the XLA path at
+    the bench shape, on THIS hardware, on every driver capture (VERDICT r4
+    weak #3 — previously a manual scripts/tpu_smoke.py run). Returns a dict
+    of parity fields folded into the bench JSON; {} on any failure (the
+    check must never kill the measurement)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        model_pl, data = _flagship_problem()
+        model_pl.evidence_backend = "fused_pallas"
+        model_xla, _ = _flagship_problem()
+        model_xla.evidence_backend = "xla"
+        if model_pl._pallas_evidence_fn(data) is None:
+            return {}
+        key = jax.random.PRNGKey(seed)
+        thetas = model_pl.hyperprior.sample(key, (num_chains,))
+
+        def vag(model):
+            def f(t):
+                ll, pull = jax.vjp(
+                    lambda q: model.log_marginal_batch(q, data), t
+                )
+                (g,) = pull(jnp.ones_like(ll))
+                return ll, g
+
+            return jax.jit(f)
+
+        t0 = time.perf_counter()
+        ll_p, g_p = jax.block_until_ready(vag(model_pl)(thetas))
+        ll_x, g_x = jax.block_until_ready(vag(model_xla)(thetas))
+        wall = time.perf_counter() - t0
+        ll_err = np.abs(np.asarray(ll_p) - np.asarray(ll_x))
+        gp = np.asarray(g_p)
+        gx = np.asarray(g_x)
+        rel = np.abs(gp - gx) / (np.abs(gx) + 1e-6)
+        out = {
+            "ll_maxerr": float(ll_err.max()),
+            "ll_p99err": float(np.percentile(ll_err, 99)),
+            "grad_med_relerr": float(np.median(rel)),
+            "grad_p99_relerr": float(np.percentile(rel, 99)),
+            "chains": num_chains,
+            "wall_s": round(wall, 1),
+        }
+        print(f"fused parity: {json.dumps(out)}", file=sys.stderr)
+        return out
+    except Exception as e:  # pragma: no cover — diagnostics only
+        print(f"fused parity check failed: {e!r}", file=sys.stderr)
+        return {}
+
+
+def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=3000, seed=0,
+                  repeats=3, max_steps=256, budget_s=None, parity=True):
     """Compile once (SHORT untimed priming run), then up to ``repeats`` timed
     end-to-end pipeline runs with distinct seeds. Returns (median ESS/s over
     non-degraded runs, summary dict).
@@ -152,6 +204,8 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repe
     # cached executables through the axon TPU plugin crashed the worker in
     # testing; compiles are primed by the first (untimed) run instead.
     model, data = _flagship_problem()
+
+    parity_fields = _fused_parity_check() if parity else {}
 
     # Priming run: compiles every program at the measured shapes. The sampler
     # chunks are shape-generic, but the POST-sampling jits (`_embed2`,
@@ -202,6 +256,7 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=800, seed=0, repe
         "num_warmup": num_warmup,
         "num_samples": num_samples,
         "device": str(jax.devices()[0]),
+        "fused_parity": parity_fields,
         "runs": runs,
     }
     return median, summary
@@ -272,8 +327,10 @@ def main():
     ap.add_argument("--baseline", action="store_true", help="measure the CPU reference pipeline")
     ap.add_argument("--chains", type=int, default=12288)
     ap.add_argument("--samples", type=int, default=None,
-                    help="sampling draws per chain (default 300; 800 under "
-                    "--full, the r2 headline protocol)")
+                    help="sampling draws per chain (default 3000; 8000 under "
+                    "--full). Raised 300 -> 3000 in r5 so timed repeats are "
+                    ">= 5 s — the r4 driver spread [881k, 1.25M] was pure "
+                    "dispatch jitter on 0.5-0.7 s walls (VERDICT r4 weak #2)")
     ap.add_argument("--warmup", type=int, default=75)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--budget-s", type=float, default=500.0,
@@ -289,10 +346,12 @@ def main():
                     "trajectory time to eps*max_steps (measured sweep in "
                     "BASELINE.md)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the fused-kernel parity prologue")
     ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
     if args.samples is None:
-        args.samples = 800 if args.full else 300
+        args.samples = 8000 if args.full else 3000
 
     if not args.child and not args.baseline:
         argv = [
@@ -303,7 +362,7 @@ def main():
             "--seed", str(args.seed),
             "--max-steps", str(args.max_steps),
             "--budget-s", str(1e12 if args.full else args.budget_s),
-        ]
+        ] + (["--no-parity"] if args.no_parity else [])
         sys.exit(_run_with_retries(argv))
 
     if args.baseline:
@@ -334,6 +393,7 @@ def main():
         repeats=args.repeats,
         max_steps=args.max_steps,
         budget_s=None if args.budget_s >= 1e12 else args.budget_s,
+        parity=not args.no_parity,
     )
     try:
         with open(DETAIL_PATH, "w") as f:
@@ -352,6 +412,7 @@ def main():
                 "repeats": summary["repeats"],
                 "degraded_runs": summary["degraded_runs"],
                 "ok": summary["ok"],
+                "fused_parity": summary["fused_parity"],
             }
         )
     )
