@@ -35,6 +35,12 @@ def main():
                     help="cost-normalized ChEES equilibrium targets to "
                     "sweep (cost_elasticity is a runtime operand: all "
                     "values share one compiled program)")
+    ap.add_argument("--config", type=int, default=None,
+                    help="sweep a BASELINE config's posterior instead of "
+                    "the flagship bench problem (e.g. 2 for the SE + "
+                    "derivative posterior — a differently-shaped target "
+                    "for the elasticity-generalization question, VERDICT "
+                    "r4 weak #6)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +50,13 @@ def main():
     from gptools_tpu.infer.pipeline import smc_then_chees
     from gptools_tpu.utils.diagnostics import ess_and_rhat
 
-    model, data = _flagship_problem()
+    if args.config is None:
+        model, data = _flagship_problem()
+    else:
+        from gptools_tpu.configs import ALL_CONFIGS
+
+        prob = ALL_CONFIGS[args.config]()
+        model, data = prob.model, prob.data
 
     def run(seed, chees_kwargs, label):
         key = jax.random.PRNGKey(seed)
