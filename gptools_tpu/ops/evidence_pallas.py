@@ -492,6 +492,15 @@ def build_loglik_vag(
                 for _ in range(n_aux)
             ],
             interpret=interpret,
+            # the unrolled body's live tiles scale ~3 * N(N+1)/2 * 4 KB
+            # (K + L + Z dictionaries): N = 27 sits just under Mosaic's
+            # default 16 MB scoped-vmem limit, N = 35 (config 3) exceeds it
+            # by 408 KB (measured r5, v5e). Raise the cap — v5e has 128 MB
+            # VMEM and the kernel's I/O blocks are a few hundred KB, so
+            # there is ample headroom up to _N_MAX = 48 (~31 MB).
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         )(*inputs)
         ll = ll3.reshape(Cp)[:C]
         grad = grad3.reshape(P, Cp)[:, :C]
