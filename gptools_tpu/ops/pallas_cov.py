@@ -167,9 +167,23 @@ gibbs_tanh_cov_vjp = _make_vjp(gibbs_tanh_cov, fused.gibbs_tanh_cov_fused)
 
 
 def pallas_supported(kernel, data) -> bool:
-    """True when (kernel type, data) match a fused Pallas builder: 1-D inputs,
-    derivative orders within {(0,), (1,)}."""
-    return fused.fused_supported(kernel, data.multi_indices, data.num_dim)
+    """True when (kernel type, data) match a grid-tiled Pallas COV builder:
+    1-D inputs, derivative orders within {(0,), (1,)}, SE or Gibbs-tanh.
+    Narrower than `fused.fused_supported` (which r5 widened to Matern-5/2
+    and input-warped kernels for the XLA chains-minor path): these twins
+    exist for the original flagship kinds only — `flagship_cov` falls
+    through to the fused-XLA build for the rest."""
+    from gptools_tpu.ops.kernels import (
+        GibbsKernel,
+        SquaredExponentialKernel,
+        TanhWarp,
+    )
+
+    if not fused.fused_supported(kernel, data.multi_indices, data.num_dim):
+        return False
+    if type(kernel) is SquaredExponentialKernel:
+        return True
+    return isinstance(kernel, GibbsKernel) and type(kernel.warp) is TanhWarp
 
 
 def cov_matrix_flagship(kernel, theta, data, interpret: bool = False):
