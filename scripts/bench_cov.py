@@ -22,10 +22,13 @@ Writes a markdown table to stdout (paste into BASELINE.md).
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _problem(n_points):
