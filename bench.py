@@ -187,7 +187,8 @@ def _fused_parity_check(seed=1234, num_chains=1024):
 
 
 def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=3000, seed=0,
-                  repeats=3, max_steps=256, budget_s=None, parity=True):
+                  repeats=3, max_steps=256, budget_s=None, parity=True,
+                  use_cache=True):
     """Compile once (SHORT untimed priming run), then up to ``repeats`` timed
     end-to-end pipeline runs with distinct seeds. Returns (median ESS/s over
     non-degraded runs, summary dict).
@@ -200,9 +201,16 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=3000, seed=0,
     """
     import jax
 
-    # NOTE: do NOT enable the persistent compilation cache here — restoring
-    # cached executables through the axon TPU plugin crashed the worker in
-    # testing; compiles are primed by the first (untimed) run instead.
+    # Persistent XLA compilation cache: abandoned in r1 (axon restore crash,
+    # BASELINE.md finding 4), re-validated in r5 behind a subprocess fence
+    # (scripts/cache_probe.py: GO, no crash, cold 48.7 s -> warm 19.4 s on
+    # the evidence vjp). Enabled by default; the parent retry fence passes
+    # --no-cache on the second attempt so a cache-related crash can never
+    # cost a driver capture.
+    if use_cache:
+        from gptools_tpu.utils.xla_cache import enable as _enable_cache
+
+        _enable_cache()
     model, data = _flagship_problem()
 
     parity_fields = _fused_parity_check() if parity else {}
@@ -302,8 +310,11 @@ def _run_with_retries(argv, attempts=2, cooldown=60):
     import subprocess
 
     for attempt in range(attempts):
+        # Retry attempts run uncached: if the first attempt died restoring a
+        # persisted executable (the r1 failure mode), the retry must not.
+        extra = ["--no-cache"] if attempt > 0 else []
         proc = subprocess.run(
-            [sys.executable, __file__, "--child"] + argv,
+            [sys.executable, __file__, "--child"] + argv + extra,
             capture_output=True,
             text=True,
         )
@@ -348,6 +359,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the fused-kernel parity prologue")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache "
+                    "(the retry fence sets this automatically on attempt 2)")
     ap.add_argument("--child", action="store_true", help="internal: run the measurement in-process")
     args = ap.parse_args()
     if args.samples is None:
@@ -362,7 +376,8 @@ def main():
             "--seed", str(args.seed),
             "--max-steps", str(args.max_steps),
             "--budget-s", str(1e12 if args.full else args.budget_s),
-        ] + (["--no-parity"] if args.no_parity else [])
+        ] + (["--no-parity"] if args.no_parity else []) \
+          + (["--no-cache"] if args.no_cache else [])
         sys.exit(_run_with_retries(argv))
 
     if args.baseline:
@@ -394,6 +409,7 @@ def main():
         max_steps=args.max_steps,
         budget_s=None if args.budget_s >= 1e12 else args.budget_s,
         parity=not args.no_parity,
+        use_cache=not args.no_cache,
     )
     try:
         with open(DETAIL_PATH, "w") as f:

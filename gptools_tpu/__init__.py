@@ -32,6 +32,17 @@ Design stance (vs the reference, cited per SURVEY.md section):
   `gptools_tpu.parallel`).
 """
 
+import os as _os
+
+if _os.environ.get("GPTOOLS_XLA_CACHE", "").lower() in ("1", "true", "yes"):
+    # Opt-in persistent XLA compilation cache: at engine speeds the one-time
+    # compile wall dominates end-to-end latency; the cache amortizes it
+    # across processes (see utils/xla_cache.py for the r1-crash history and
+    # the r5 re-validation). Import-time so it precedes the first compile.
+    from gptools_tpu.utils.xla_cache import enable as _enable_xla_cache
+
+    _enable_xla_cache()
+
 from gptools_tpu.models.gp import GaussianProcess, GPModel, Prediction
 from gptools_tpu.models.dataset import Dataset, DatasetBuilder
 from gptools_tpu.models import mean

@@ -234,3 +234,27 @@ def test_zero_warmup_uses_eps0(key):
     np.testing.assert_allclose(
         np.asarray(res_pt.diagnostics["step_size"]), 0.05, rtol=1e-6
     )
+
+
+def test_xla_cache_enable_persists_entries(tmp_path):
+    """utils/xla_cache.enable writes compiled programs to the cache dir.
+
+    The r5 adoption path (VERDICT r4 next #6): bench.py and the
+    GPTOOLS_XLA_CACHE env opt-in both route through enable(); this pins
+    that a fresh dir gains at least one persisted executable after a
+    non-trivial compile (min_compile_secs=0 so even CPU compiles qualify).
+    """
+    from gptools_tpu.utils.xla_cache import enable
+
+    cache_dir = str(tmp_path / "xla_cache")
+    assert enable(cache_dir=cache_dir, min_compile_secs=0.0)
+
+    @jax.jit
+    def f(x):
+        return jnp.linalg.cholesky(
+            x @ x.T + 1e-3 * jnp.eye(x.shape[0], dtype=x.dtype)
+        ).sum()
+
+    f(jnp.ones((64, 64))).block_until_ready()
+    entries = [p for p in os.listdir(cache_dir) if not p.startswith(".")]
+    assert entries, "no cache entries persisted"
