@@ -224,8 +224,14 @@ def run_tpu_bench(num_chains=12288, num_warmup=75, num_samples=3000, seed=0,
     # a second, so priming at FULL length is now the cheap option and makes
     # every timed repeat a pure-execution measurement. Different seeds do
     # NOT retrace; shapes are identical across repeats.
+    t_prime0 = time.perf_counter()
     _measure_once(model, data, seed + repeats, num_chains, num_warmup,
                   num_samples, max_steps=max_steps)
+    print(
+        f"priming wall: {time.perf_counter() - t_prime0:.1f}s "
+        f"(cache={'on' if use_cache else 'off'})",
+        file=sys.stderr,
+    )
 
     runs = []
     t_timed0 = time.perf_counter()

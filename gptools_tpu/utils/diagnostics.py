@@ -93,11 +93,9 @@ def ess_per_param(samples: jax.Array) -> jax.Array:
     return jax.jit(jax.vmap(ess, in_axes=2))(samples)
 
 
-def split_rhat(samples: jax.Array) -> jax.Array:
-    """Split-R-hat per parameter for (num_chains, num_samples, dim) samples."""
-    samples = _host_layout(jnp.asarray(samples))
-    if samples.ndim == 2:
-        samples = samples[None]
+def _split_rhat_core(samples: jax.Array) -> jax.Array:
+    """Pure-jnp split-R-hat for (num_chains, num_samples, dim) samples
+    (jittable; no layout normalization)."""
     c, n, d = samples.shape
     half = n // 2
     x = jnp.concatenate(
@@ -112,12 +110,42 @@ def split_rhat(samples: jax.Array) -> jax.Array:
     return jnp.sqrt(var_plus / w)
 
 
+def split_rhat(samples: jax.Array) -> jax.Array:
+    """Split-R-hat per parameter for (num_chains, num_samples, dim) samples."""
+    samples = _host_layout(jnp.asarray(samples))
+    if samples.ndim == 2:
+        samples = samples[None]
+    return _split_rhat_core(samples)
+
+
+@jax.jit
+def _device_ess_rhat(samples: jax.Array):
+    """(ESS, split-R-hat) per parameter, entirely on-device. One fused
+    program; only the two (dim,) result vectors cross the host boundary."""
+    return jax.vmap(ess, in_axes=2)(samples), _split_rhat_core(samples)
+
+
 def ess_and_rhat(samples):
-    """(ESS, split-R-hat) per parameter as numpy arrays, through the native
-    host library when built (~6x / ~3x over the JAX FFT path at bench shapes,
-    BASELINE.md r2 log) with the JAX implementations as fallback. This is the
-    production post-run diagnostic used by bench.py and `summarize_samples`
-    (VERDICT r2 item 10)."""
+    """(ESS, split-R-hat) per parameter as numpy arrays.
+
+    Dispatch is residency-driven: samples already resident on an
+    accelerator are reduced ON DEVICE (`_device_ess_rhat`) and only the
+    per-param scalars are fetched — at the r5 bench shape (12288, 3000, 5)
+    the old host path pulled the full ~740 MB sample stack through the
+    axon tunnel PER CALL, which at ~1 MB/s tunnel bandwidth dominated the
+    entire bench wall (~3.5 min/call; 4 calls ~ 14 min of a 21-26 min
+    bench, r5 measurement log). Host-resident input keeps the r2-era path:
+    the native C++ library when built (~6x over the JAX FFT path on CPU,
+    BASELINE.md r2 log), JAX-on-CPU otherwise (VERDICT r2 item 10)."""
+    if isinstance(samples, jax.Array) and not isinstance(samples, jax.core.Tracer):
+        try:
+            platform = next(iter(samples.devices())).platform
+        except Exception:
+            platform = "cpu"
+        if platform != "cpu":
+            s3 = samples if samples.ndim == 3 else samples[None]
+            e, r = _device_ess_rhat(s3)
+            return np.asarray(e), np.asarray(r)
     s = np.asarray(samples)
     if s.ndim == 2:
         s = s[None]

@@ -258,3 +258,21 @@ def test_xla_cache_enable_persists_entries(tmp_path):
     f(jnp.ones((64, 64))).block_until_ready()
     entries = [p for p in os.listdir(cache_dir) if not p.startswith(".")]
     assert entries, "no cache entries persisted"
+
+
+def test_device_ess_rhat_matches_host_path(rng):
+    """The on-device diagnostics program (`_device_ess_rhat`, used by
+    ess_and_rhat for accelerator-resident samples so only per-param scalars
+    cross the host boundary — r5: the host path's full-stack transfer
+    dominated the bench wall through the axon tunnel) must agree with the
+    host path (native C++ when built, JAX-on-CPU otherwise)."""
+    from gptools_tpu.utils.diagnostics import _device_ess_rhat, ess_and_rhat
+
+    s = rng.standard_normal((16, 400, 3))
+    # AR(1)-ish correlation so tau > 1 and the Geyer truncation is exercised
+    for t in range(1, s.shape[1]):
+        s[:, t] = 0.6 * s[:, t - 1] + 0.8 * s[:, t]
+    e_dev, r_dev = _device_ess_rhat(jnp.asarray(s))
+    e_host, r_host = ess_and_rhat(s)  # numpy input -> host path
+    np.testing.assert_allclose(np.asarray(e_dev), e_host, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_dev), r_host, rtol=1e-5)
