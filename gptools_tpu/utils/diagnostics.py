@@ -159,32 +159,62 @@ def ess_and_rhat(samples):
     )
 
 
+@jax.jit
+def _device_moments(samples: jax.Array):
+    """Pooled mean/std/quantiles per parameter, on-device; (C, N, D) in,
+    five (D,) vectors out."""
+    d = samples.shape[-1]
+    flat = samples.reshape(-1, d)
+    return (
+        jnp.mean(flat, axis=0),
+        jnp.std(flat, axis=0, ddof=1),
+        jnp.quantile(flat, 0.05, axis=0),
+        jnp.quantile(flat, 0.50, axis=0),
+        jnp.quantile(flat, 0.95, axis=0),
+    )
+
+
 def summarize_samples(
     samples, param_names=None, wall_time: float | None = None
 ) -> Dict:
     """Posterior summary table (reference
     ``gptools/utils.py :: summarize_sampler``): mean, std, quantiles, ESS,
-    R-hat per parameter; ESS/s if wall time is given. Host-side convenience
-    (numpy in, dict out)."""
-    s = np.asarray(samples)
-    if s.ndim == 2:
-        s = s[None]
-    c, n, d = s.shape
-    flat = s.reshape(-1, d)
+    R-hat per parameter; ESS/s if wall time is given. Numpy in, dict out;
+    accelerator-resident input is reduced entirely on device (moments +
+    diagnostics as two jitted programs, only per-param vectors fetched —
+    the full-stack host pull cost minutes through the remote-TPU tunnel at
+    bench shapes, BASELINE.md r5 compile-wall log)."""
+    on_device = (
+        isinstance(samples, jax.Array)
+        and not isinstance(samples, jax.core.Tracer)
+        and next(iter(samples.devices())).platform != "cpu"
+    )
+    if on_device:
+        s3 = samples if samples.ndim == 3 else samples[None]
+        c, n, d = s3.shape
+        mean, std, q05, q50, q95 = (np.asarray(v) for v in _device_moments(s3))
+        ess_v, rhat_v = ess_and_rhat(s3)
+    else:
+        s = np.asarray(samples)
+        if s.ndim == 2:
+            s = s[None]
+        c, n, d = s.shape
+        flat = s.reshape(-1, d)
+        mean, std = flat.mean(axis=0), flat.std(axis=0, ddof=1)
+        q05, q50, q95 = (np.quantile(flat, q, axis=0) for q in (0.05, 0.50, 0.95))
+        # host-side diagnostics go through the native library when it is
+        # built (see ess_and_rhat)
+        ess_v, rhat_v = ess_and_rhat(s)
     names = (
         list(param_names) if param_names is not None else [f"p{i}" for i in range(d)]
     )
-    # host-side diagnostics go through the native library when it is built
-    # (see ess_and_rhat; budget-exhausted ESS parameters are recomputed via
-    # FFT inside the wrapper, so results agree to float tolerance either way)
-    ess_v, rhat_v = ess_and_rhat(s)
     out = {
         "params": names,
-        "mean": flat.mean(axis=0),
-        "std": flat.std(axis=0, ddof=1),
-        "q05": np.quantile(flat, 0.05, axis=0),
-        "q50": np.quantile(flat, 0.50, axis=0),
-        "q95": np.quantile(flat, 0.95, axis=0),
+        "mean": mean,
+        "std": std,
+        "q05": q05,
+        "q50": q50,
+        "q95": q95,
         "ess": ess_v,
         "rhat": rhat_v,
         "num_chains": c,

@@ -276,3 +276,16 @@ def test_device_ess_rhat_matches_host_path(rng):
     e_host, r_host = ess_and_rhat(s)  # numpy input -> host path
     np.testing.assert_allclose(np.asarray(e_dev), e_host, rtol=2e-3)
     np.testing.assert_allclose(np.asarray(r_dev), r_host, rtol=1e-5)
+
+
+def test_device_moments_match_numpy(rng):
+    """summarize_samples' on-device moment program vs numpy reference."""
+    from gptools_tpu.utils.diagnostics import _device_moments
+
+    s = rng.standard_normal((8, 250, 4))
+    mean, std, q05, q50, q95 = (np.asarray(v) for v in _device_moments(jnp.asarray(s)))
+    flat = s.reshape(-1, 4)
+    np.testing.assert_allclose(mean, flat.mean(axis=0), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(std, flat.std(axis=0, ddof=1), rtol=1e-6)
+    for got, q in ((q05, 0.05), (q50, 0.50), (q95, 0.95)):
+        np.testing.assert_allclose(got, np.quantile(flat, q, axis=0), rtol=1e-5, atol=1e-7)
