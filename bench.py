@@ -101,8 +101,10 @@ def _measure_once(model, data, seed, num_chains, num_warmup, num_samples,
 
     thetas = res.thetas
     # post-run diagnostics are untimed for the metric but real for the
-    # driver's capture window: route through the native host library
-    # (~6x faster than the JAX FFT path at bench shapes; VERDICT r2 item 10)
+    # driver's capture window: device-resident thetas reduce ON DEVICE and
+    # only per-param scalars cross the tunnel (the full-stack host pull was
+    # ~14 min/bench, BASELINE.md r5 compile-wall log); host arrays use the
+    # native C++ library (VERDICT r2 item 10)
     ess, rhat = ess_and_rhat(thetas)
     ess = np.asarray(ess)
     rhat = np.asarray(rhat)
@@ -324,6 +326,21 @@ def _run_with_retries(argv, attempts=2, cooldown=60):
             capture_output=True,
             text=True,
         )
+        if proc.returncode != 0 and not extra and "--no-cache" not in argv:
+            # Quarantine the cache before the uncached retry: a poisoned
+            # entry must not turn a one-time crash into a crash on attempt 1
+            # of every future bench run. (Worker crashes unrelated to the
+            # cache lose warm entries too — acceptable; correctness first.)
+            from gptools_tpu.utils.xla_cache import DEFAULT_DIR
+
+            if os.path.isdir(DEFAULT_DIR):
+                try:
+                    os.rename(DEFAULT_DIR, f"{DEFAULT_DIR}.bad.{os.getpid()}")
+                    sys.stderr.write(
+                        f"quarantined {DEFAULT_DIR} after failed attempt\n"
+                    )
+                except OSError as e:
+                    sys.stderr.write(f"cache quarantine failed: {e}\n")
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if proc.returncode == 0 and lines:
             if proc.stderr:

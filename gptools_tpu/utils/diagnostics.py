@@ -118,6 +118,19 @@ def split_rhat(samples: jax.Array) -> jax.Array:
     return _split_rhat_core(samples)
 
 
+def _accelerator_resident(samples) -> bool:
+    """True iff ``samples`` is a concrete jax.Array living on a non-CPU
+    device — the shared predicate for the residency-driven diagnostics
+    dispatch (any failure to inspect devices falls back to the host path,
+    which is always correct)."""
+    if not isinstance(samples, jax.Array) or isinstance(samples, jax.core.Tracer):
+        return False
+    try:
+        return next(iter(samples.devices())).platform != "cpu"
+    except Exception:
+        return False
+
+
 @jax.jit
 def _device_ess_rhat(samples: jax.Array):
     """(ESS, split-R-hat) per parameter, entirely on-device. One fused
@@ -137,15 +150,10 @@ def ess_and_rhat(samples):
     bench, r5 measurement log). Host-resident input keeps the r2-era path:
     the native C++ library when built (~6x over the JAX FFT path on CPU,
     BASELINE.md r2 log), JAX-on-CPU otherwise (VERDICT r2 item 10)."""
-    if isinstance(samples, jax.Array) and not isinstance(samples, jax.core.Tracer):
-        try:
-            platform = next(iter(samples.devices())).platform
-        except Exception:
-            platform = "cpu"
-        if platform != "cpu":
-            s3 = samples if samples.ndim == 3 else samples[None]
-            e, r = _device_ess_rhat(s3)
-            return np.asarray(e), np.asarray(r)
+    if _accelerator_resident(samples):
+        s3 = samples if samples.ndim == 3 else samples[None]
+        e, r = _device_ess_rhat(s3)
+        return np.asarray(e), np.asarray(r)
     s = np.asarray(samples)
     if s.ndim == 2:
         s = s[None]
@@ -184,12 +192,7 @@ def summarize_samples(
     diagnostics as two jitted programs, only per-param vectors fetched —
     the full-stack host pull cost minutes through the remote-TPU tunnel at
     bench shapes, BASELINE.md r5 compile-wall log)."""
-    on_device = (
-        isinstance(samples, jax.Array)
-        and not isinstance(samples, jax.core.Tracer)
-        and next(iter(samples.devices())).platform != "cpu"
-    )
-    if on_device:
+    if _accelerator_resident(samples):
         s3 = samples if samples.ndim == 3 else samples[None]
         c, n, d = s3.shape
         mean, std, q05, q50, q95 = (np.asarray(v) for v in _device_moments(s3))

@@ -74,11 +74,13 @@ class MetricsLogger:
         return self.log("window", **fields)
 
     def finalize(self, samples, wall_time: Optional[float] = None):
-        """Compute and log end-of-run ESS / R-hat (on device)."""
-        from gptools_tpu.utils.diagnostics import ess_per_param, split_rhat
+        """Compute and log end-of-run ESS / R-hat (residency-driven:
+        accelerator-resident samples reduce on device, host arrays use the
+        native C++ path — see diagnostics.ess_and_rhat)."""
+        from gptools_tpu.utils.diagnostics import ess_and_rhat
 
-        ess = np.asarray(ess_per_param(samples))
-        rhat = np.asarray(split_rhat(samples))
+        ess, rhat = ess_and_rhat(samples)
+        ess, rhat = np.asarray(ess), np.asarray(rhat)
         fields = dict(ess=ess, rhat=rhat, min_ess=float(ess.min()))
         if wall_time is not None:
             fields["wall_s"] = wall_time

@@ -67,19 +67,33 @@ def summarize_sampler(result, param_names=None, burn: int = 0, ci: float = 0.95)
     extended with ESS and split-R-hat."""
     from gptools_tpu.utils.diagnostics import summarize_samples
 
+    from gptools_tpu.utils.diagnostics import _accelerator_resident
+
     thetas = getattr(result, "thetas", result)
     if thetas is None:
         thetas = result.u
+    lo_q, hi_q = (1 - ci) / 2, (1 + ci) / 2
+    if _accelerator_resident(thetas):
+        # keep the stack on device: burn-slice, summary, and CI quantiles
+        # all reduce on-chip; only per-param vectors are fetched (the host
+        # pull costs minutes at bench shapes through the remote-TPU tunnel)
+        import jax.numpy as jnp
+
+        s = thetas if thetas.ndim == 3 else thetas[None]
+        s = s[:, burn:, :]
+        out = summarize_samples(s, param_names=param_names)
+        flat = s.reshape(-1, s.shape[-1])
+        out["ci_low"] = np.asarray(jnp.quantile(flat, lo_q, axis=0))
+        out["ci_high"] = np.asarray(jnp.quantile(flat, hi_q, axis=0))
+        return out
     s = np.asarray(thetas)
     if s.ndim == 2:
         s = s[None]
     s = s[:, burn:, :]
     out = summarize_samples(s, param_names=param_names)
-    lo_q = 100 * (1 - ci) / 2
-    hi_q = 100 * (1 + ci) / 2
     flat = s.reshape(-1, s.shape[-1])
-    out["ci_low"] = np.percentile(flat, lo_q, axis=0)
-    out["ci_high"] = np.percentile(flat, hi_q, axis=0)
+    out["ci_low"] = np.quantile(flat, lo_q, axis=0)
+    out["ci_high"] = np.quantile(flat, hi_q, axis=0)
     return out
 
 

@@ -247,17 +247,27 @@ def test_xla_cache_enable_persists_entries(tmp_path):
     from gptools_tpu.utils.xla_cache import enable
 
     cache_dir = str(tmp_path / "xla_cache")
-    assert enable(cache_dir=cache_dir, min_compile_secs=0.0)
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_bytes = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        assert enable(cache_dir=cache_dir, min_compile_secs=0.0)
 
-    @jax.jit
-    def f(x):
-        return jnp.linalg.cholesky(
-            x @ x.T + 1e-3 * jnp.eye(x.shape[0], dtype=x.dtype)
-        ).sum()
+        @jax.jit
+        def f(x):
+            return jnp.linalg.cholesky(
+                x @ x.T + 1e-3 * jnp.eye(x.shape[0], dtype=x.dtype)
+            ).sum()
 
-    f(jnp.ones((64, 64))).block_until_ready()
-    entries = [p for p in os.listdir(cache_dir) if not p.startswith(".")]
-    assert entries, "no cache entries persisted"
+        f(jnp.ones((64, 64))).block_until_ready()
+        entries = [p for p in os.listdir(cache_dir) if not p.startswith(".")]
+        assert entries, "no cache entries persisted"
+    finally:
+        # the cache config is process-global; restore so later tests are
+        # not silently serialized into this test's tmp dir
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_bytes)
 
 
 def test_device_ess_rhat_matches_host_path(rng):
@@ -289,3 +299,17 @@ def test_device_moments_match_numpy(rng):
     np.testing.assert_allclose(std, flat.std(axis=0, ddof=1), rtol=1e-6)
     for got, q in ((q05, 0.05), (q50, 0.50), (q95, 0.95)):
         np.testing.assert_allclose(got, np.quantile(flat, q, axis=0), rtol=1e-5, atol=1e-7)
+
+
+def test_metrics_finalize_ess_fields(tmp_path, rng):
+    """MetricsLogger.finalize routes through the residency-driven
+    ess_and_rhat and logs ESS / R-hat / ESS-per-second fields."""
+    from gptools_tpu.utils.metrics import MetricsLogger
+
+    log = MetricsLogger(path=str(tmp_path / "m.jsonl"), run_name="t")
+    s = rng.standard_normal((4, 200, 2))
+    log.finalize(s, wall_time=2.0)
+    (rec,) = [r for r in log.records if r["event"] == "final"]
+    assert rec["min_ess"] > 50 and len(np.asarray(rec["ess"])) == 2
+    assert rec["ess_per_s"] == rec["min_ess"] / 2.0
+    assert np.all(np.asarray(rec["rhat"]) < 1.1)
